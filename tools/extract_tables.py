@@ -1,0 +1,269 @@
+"""Extract AV1 spec constant tables from the system codec libraries.
+
+Writes av1tpu/spec/tables/*.npz.  Every extraction is signature-matched in
+libaom's read-only data and, where layouts permit, cross-confirmed against
+libdav1d (independent implementation -> identical spec values).  Behavioral
+validation (decoding real bitstreams with these tables) lives in the test
+suite; this script only performs structural recovery.
+
+Layout discovery notes (u16 offsets into libaom.so.3 .rodata, see
+tools/tablescan.py):
+  quant dc/ac lookups ....... 6 x 256 monotone runs at 151088..152624
+  coeff_base_eob ............ 26160  [4][5][2][4]  arity 3
+  coeff_base ................ 26800  [4][5][2][42] arity 4
+  coeff_br .................. 35200  [4][5][2][21] arity 4
+  eob_multi 1024..16 ........ 39408..40416 (arity 11,10,9,8,7,6,5)
+  eob_extra ................. 40416  [4][5][2][9]  arity 2
+  txb_skip .................. 41504  [4][5][13]    arity 2
+  dc_sign ................... 42288  [4][2][3]     arity 2
+  partition ................. 46544  [20] arity 4/10/8 (w8/w16-64/w128)
+  kf_y_mode ................. 47168  [5][5]        arity 13
+Offsets are rediscovered structurally on each run (no hardcoded addresses),
+so the script survives library updates.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from tablescan import (  # noqa: E402
+    LIBAOM,
+    LIBDAV1D,
+    find_monotone_u16,
+    load_rodata_u16,
+    values_at,
+)
+
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "av1tpu", "spec", "tables",
+)
+
+
+def row_arity(a, o, p):
+    row = a[o : o + p]
+    if len(row) < p or row[-1] != 0:
+        return 0
+    i = 0
+    while i < p - 1 and row[i] > 0:
+        if row[i] >= 32768:
+            return 0
+        if row[i + 1] >= row[i] and row[i + 1] != 0:
+            return 0
+        i += 1
+    if i == 0 or row[i:].any():
+        return 0
+    return i + 1
+
+
+def find_cdf_block(a, p, rows, arities=None, min_arity=None):
+    """All offsets where `rows` consecutive p-wide cdf rows live."""
+    hits = []
+    n = len(a)
+    for o in range(n - p * rows):
+        ar0 = row_arity(a, o, p)
+        if not ar0:
+            continue
+        if arities and ar0 != arities[0]:
+            continue
+        if min_arity and ar0 < min_arity:
+            continue
+        ok = True
+        for r in range(1, rows):
+            ar = row_arity(a, o + r * p, p)
+            if not ar or (arities and ar != arities[r]) or (
+                min_arity and ar < min_arity
+            ):
+                ok = False
+                break
+        if ok:
+            hits.append(o)
+    return hits
+
+
+def dedup_overlapping(hits, span):
+    out = []
+    for h in hits:
+        if not out or h >= out[-1] + span:
+            out.append(h)
+    return out
+
+
+def extract_quant(A, D):
+    """dc/ac dequant lookups for 8/10/12-bit."""
+    offs = find_monotone_u16(A, 256, first_max=10, last_min=500)
+    tables = {}
+    for o in offs:
+        v = values_at(A, o, 256)
+        if len(np.unique(v)) < 200 or v[0] < 1:
+            continue
+        tables[int(v[255])] = v.astype(np.int32)
+    # identify by known spec endpoints
+    key = {
+        1336: "dc_q_8", 1828: "ac_q_8",
+        5347: "dc_q_10", 7312: "ac_q_10",
+        21387: "dc_q_12", 29247: "ac_q_12",
+    }
+    out = {}
+    for endp, name in key.items():
+        if endp not in tables:
+            raise SystemExit(f"quant table {name} (endpoint {endp}) not found")
+        out[name] = tables[endp]
+    # cross-confirm with dav1d's interleaved [256][2] layout
+    for depth in ("8", "10", "12"):
+        inter = np.empty(512, "<u2")
+        inter[0::2] = out[f"dc_q_{depth}"]
+        inter[1::2] = out[f"ac_q_{depth}"]
+        n = len(inter)
+        found = False
+        for i in np.nonzero(D[: len(D) - n] == inter[0])[0]:
+            if np.array_equal(D[i : i + n], inter):
+                found = True
+                break
+        if not found:
+            raise SystemExit(f"quant {depth}-bit not confirmed in dav1d")
+    return out
+
+
+def grab(a, off, shape, width):
+    """Read a cdf table: `shape` leading dims, rows `width` u16 wide; returns
+    int32 array of shape (*shape, width-1) — the trailing adaptation counter
+    column is dropped, terminal zeros kept (icdf convention)."""
+    rows = int(np.prod(shape))
+    block = values_at(a, off, rows * width).reshape(*shape, width)
+    return block[..., : width - 1].astype(np.int32)
+
+
+def confirm_subseq(D, flat):
+    """Check dav1d .rodata contains `flat` (same u16 values contiguously)."""
+    v = flat.astype("<u2")
+    n = len(v)
+    for i in np.nonzero(D[: len(D) - n] == v[0])[0]:
+        if np.array_equal(D[i : i + n], v):
+            return True
+    return False
+
+
+def extract_coef(A, D):
+    out = {}
+    # coeff_base: unique 2520-row arity-4 region (coeff_base + coeff_br)
+    base_hits = dedup_overlapping(
+        find_cdf_block(A, 5, 2520, min_arity=4), 2520 * 5
+    )
+    assert len(base_hits) == 1, base_hits
+    o = base_hits[0]
+    out["coeff_base"] = grab(A, o, (4, 5, 2, 42), 5)
+    out["coeff_br"] = grab(A, o + 1680 * 5, (4, 5, 2, 21), 5)
+    # coeff_base_eob immediately precedes
+    out["coeff_base_eob"] = grab(A, o - 160 * 4, (4, 5, 2, 4), 4)
+    # eob_multi, by arity (area 16 -> 5 symbols ... 1024 -> 11)
+    arity_to_area = {5: 16, 6: 32, 7: 64, 8: 128, 9: 256, 10: 512, 11: 1024}
+    end_br = o + 2520 * 5
+    for width in range(6, 13):
+        hits = [
+            h for h in dedup_overlapping(
+                find_cdf_block(A, width, 16, arities=[width - 1] * 16), 16 * width
+            )
+            if end_br <= h < end_br + 1200
+        ]
+        assert len(hits) == 1, (width, hits)
+        area = arity_to_area[width - 1]
+        out[f"eob_pt_{area}"] = grab(A, hits[0], (4, 2, 2), width)
+    # eob_extra [4][5][2][9], txb_skip [4][5][13], dc_sign [4][2][3]:
+    # three arity-2 regions after the eob tables, in that order
+    # maximal runs of arity-2 rows at period 3, scanned left to right
+    regions = []
+    pos = end_br
+    limit = end_br + 4000
+    while pos < limit:
+        if row_arity(A, pos, 3) == 2:
+            k = 0
+            while row_arity(A, pos + k * 3, 3) == 2:
+                k += 1
+            regions.append((pos, k))
+            pos += k * 3
+        else:
+            pos += 1
+    # a preceding table's tail can phase-lock into a run, so a run may carry a
+    # few spurious leading rows; the true table is the run's tail.
+    sizes = {}
+    for want in (360, 260, 24):
+        for o, k in regions:
+            if k >= want and want not in sizes:
+                sizes[want] = o + (k - want) * 3
+                regions = [r for r in regions if r[0] != o]
+                break
+    assert set(sizes) == {360, 260, 24}, regions
+    out["eob_extra"] = grab(A, sizes[360], (4, 5, 2, 9), 3)
+    out["txb_skip"] = grab(A, sizes[260], (4, 5, 13), 3)
+    out["dc_sign"] = grab(A, sizes[24], (4, 2, 3), 3)
+
+    # cross-confirm a few large tables against dav1d by flat value search
+    for name in ("coeff_base", "coeff_br", "coeff_base_eob", "txb_skip"):
+        t = out[name]
+        # dav1d may pad rows differently; confirm per-row prefix runs instead:
+        # check a sample of rows appear somewhere in dav1d rodata
+        sample = t.reshape(-1, t.shape[-1])[:: max(1, t.size // t.shape[-1] // 40)]
+        misses = 0
+        for row in sample:
+            nz = row[row > 0].astype("<u2")
+            if len(nz) >= 2 and not confirm_subseq(D, nz):
+                misses += 1
+        if misses:
+            raise SystemExit(f"{name}: {misses}/{len(sample)} rows not in dav1d")
+    return out
+
+
+def extract_modes(A, D):
+    out = {}
+    # partition [20][11]: arity 4 x4 (w8), 10 x12 (w16/32/64), 8 x4 (w128)
+    arities = [4] * 4 + [10] * 12 + [8] * 4
+    hits = dedup_overlapping(find_cdf_block(A, 11, 20, arities=arities), 220)
+    assert len(hits) == 1, hits
+    out["partition"] = grab(A, hits[0], (20,), 11)
+    # kf_y_mode [5][5] arity 13
+    hits = dedup_overlapping(find_cdf_block(A, 14, 25, arities=[13] * 25), 350)
+    assert len(hits) == 1, hits
+    out["kf_y_mode"] = grab(A, hits[0], (5, 5), 14)
+    # dav1d stores some mode tables in transformed/SIMD-permuted layouts, so
+    # cross-confirmation is advisory here (libaom is itself a conforming
+    # decoder; behavioral stream-decode tests are the final arbiter).
+    for name in ("partition", "kf_y_mode"):
+        t = out[name].reshape(-1, out[name].shape[-1])
+        misses = sum(
+            1
+            for row in t
+            if len(row[row > 0]) >= 2
+            and not confirm_subseq(D, row[row > 0].astype("<u2"))
+        )
+        if misses:
+            print(f"note: {name}: {misses}/{len(t)} rows not found verbatim "
+                  f"in dav1d (transformed storage); relying on behavioral "
+                  f"validation")
+    return out
+
+
+def main():
+    A = load_rodata_u16(LIBAOM)[".rodata"]
+    D = load_rodata_u16(LIBDAV1D)[".rodata"]
+    os.makedirs(OUT_DIR, exist_ok=True)
+
+    quant = extract_quant(A, D)
+    np.savez(os.path.join(OUT_DIR, "quant.npz"), **quant)
+    print("quant tables:", ", ".join(sorted(quant)))
+
+    coef = extract_coef(A, D)
+    np.savez(os.path.join(OUT_DIR, "coef_cdfs.npz"), **coef)
+    print("coef cdf tables:", ", ".join(sorted(coef)))
+
+    modes = extract_modes(A, D)
+    np.savez(os.path.join(OUT_DIR, "mode_cdfs.npz"), **modes)
+    print("mode cdf tables:", ", ".join(sorted(modes)))
+
+
+if __name__ == "__main__":
+    main()

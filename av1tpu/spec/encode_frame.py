@@ -1,0 +1,123 @@
+"""Assemble complete AV1 streams from the spec-model encoder.
+
+This is the reference (host, numpy) encode path: intra keyframes, single
+tile, filters off.  The TPU pipeline replaces the per-block DSP while reusing
+the same headers and symbol syntax.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from av1tpu.utils.yuv import Clip
+
+from .bits import BitWriter
+from .cdf_state import DecCoder, EncCoder
+from .enums import BLOCK_16X16
+from .headers import (
+    FrameHeader, SequenceHeader, write_frame_header_key, write_sequence_header,
+)
+from .obu import OBU_FRAME, OBU_SEQUENCE_HEADER, build_obu, temporal_delimiter
+from .tile import FixedPartitionPlanner, Planner, TileCoder
+
+
+@dataclasses.dataclass
+class EncoderConfig:
+    base_q_idx: int = 100
+    leaf_bsize: int = BLOCK_16X16
+    bit_depth: int = 8
+    disable_cdf_update: int = 0
+
+
+def make_sequence_header(width: int, height: int,
+                         cfg: EncoderConfig) -> SequenceHeader:
+    seq = SequenceHeader()
+    seq.seq_profile = 0
+    seq.seq_level_idx = 8
+    seq.frame_width_bits = max(width - 1, 1).bit_length()
+    seq.frame_height_bits = max(height - 1, 1).bit_length()
+    seq.max_frame_width = width
+    seq.max_frame_height = height
+    seq.bit_depth = cfg.bit_depth
+    return seq
+
+
+def make_frame_header(seq: SequenceHeader, cfg: EncoderConfig) -> FrameHeader:
+    fh = FrameHeader()
+    fh.width = seq.max_frame_width
+    fh.height = seq.max_frame_height
+    fh.render_width, fh.render_height = fh.width, fh.height
+    fh.base_q_idx = cfg.base_q_idx
+    fh.disable_cdf_update = cfg.disable_cdf_update
+    fh.disable_frame_end_update_cdf = 1
+    fh.loop_filter_level = (0, 0, 0, 0)
+    return fh
+
+
+def _pad_to(arr: np.ndarray, h: int, w: int) -> np.ndarray:
+    out = np.zeros((h, w), np.int32)
+    ah, aw = arr.shape
+    out[:ah, :aw] = arr
+    if aw < w:
+        out[:ah, aw:] = arr[:, -1:]
+    if ah < h:
+        out[ah:, :] = out[ah - 1 : ah, :]
+    return out
+
+
+def encode_keyframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                    cfg: EncoderConfig,
+                    planner: Planner | None = None) -> tuple[bytes, list]:
+    """Encode one intra frame; returns (obu_bytes_for_one_TU, recon_planes).
+
+    y: (H, W) uint8/uint16; u/v: (H/2, W/2)."""
+    height, width = y.shape
+    seq = make_sequence_header(width, height, cfg)
+    fh = make_frame_header(seq, cfg)
+    if planner is None:
+        planner = FixedPartitionPlanner(leaf_bsize=cfg.leaf_bsize)
+
+    # pad planes to the mi grid
+    mh, mw = fh.mi_rows * 4, fh.mi_cols * 4
+    src = [
+        _pad_to(y.astype(np.int32), mh, mw),
+        _pad_to(u.astype(np.int32), mh // 2, mw // 2),
+        _pad_to(v.astype(np.int32), mh // 2, mw // 2),
+    ]
+    recon = [np.zeros_like(p) for p in src]
+
+    coder = EncCoder(disable_cdf_update=bool(fh.disable_cdf_update))
+    tc = TileCoder(seq, fh, coder, recon, source=src, planner=planner)
+    tc.code_tile()
+    tile_bytes = coder.done()
+
+    bw = BitWriter()
+    write_frame_header_key(seq, fh, bw)
+    bw.byte_align()
+    payload = bw.bytes() + tile_bytes
+
+    stream = (
+        temporal_delimiter()
+        + build_obu(OBU_SEQUENCE_HEADER, write_sequence_header(seq))
+        + build_obu(OBU_FRAME, payload)
+    )
+    return stream, recon
+
+
+def decode_keyframe_tile(stream_payload: bytes, seq: SequenceHeader,
+                         fh: FrameHeader) -> list[np.ndarray]:
+    """Decode a single-tile key frame payload (tile bytes only) with the
+    symmetric engine — used for self round-trip tests."""
+    mh, mw = fh.mi_rows * 4, fh.mi_cols * 4
+    recon = [
+        np.zeros((mh, mw), np.int32),
+        np.zeros((mh // 2, mw // 2), np.int32),
+        np.zeros((mh // 2, mw // 2), np.int32),
+    ]
+    coder = DecCoder(stream_payload,
+                     disable_cdf_update=bool(fh.disable_cdf_update))
+    tc = TileCoder(seq, fh, coder, recon)
+    tc.code_tile()
+    return recon

@@ -148,29 +148,25 @@ class Encoder:
             self.encode_bool((x >> i) & 1)
 
     def done(self) -> bytes:
-        """Finalize: emit a byte string whose decode reproduces the symbols.
+        """Finalize with the canonical daala terminator (od_ec_enc_done).
 
-        The decoder's value after n bits is V = 2^n - 1 - B_n - low (B_n =
-        integer formed by the first n stream bits); validity of every decode
-        step reduces (by interval nesting) to 0 <= V < rng at the end, i.e.
-        B in (2^n - 1 - low - rng, 2^n - 1 - low].  We pick the value in that
-        range with the most trailing zero bits.
+        In stream space the valid encodings form the interval
+        [low_d, low_d + rng) where low_d = 2^n - low - rng (our ``low``
+        accumulates bottom-edge cuts in value space; the stream value is its
+        complement).  The normative terminator rounds low_d up to the next
+        odd multiple of 2^14 (a 1 "marker" bit followed by zeros) and emits
+        everything above the low 14 bits; conforming decoders (libaom)
+        verify this exact padding form.
         """
-        n, low, rng = self.nbits, self.low, self.rng
-        hi = (1 << n) - 1 - low  # inclusive upper bound
-        lo = hi - (rng - 1)  # inclusive lower bound (t = rng-1)
-        if lo < 0:
-            lo = 0
-        # most trailing zeros: round lo up to successively coarser grids
-        b = hi
-        for z in range(n, -1, -1):
-            step = 1 << z
-            cand = ((lo + step - 1) >> z) << z
-            if cand <= hi:
-                b = cand
-                break
-        nbytes = max((n + 7) // 8, 2)
-        return int(b << (nbytes * 8 - n)).to_bytes(nbytes, "big")
+        n = self.nbits
+        low_d = (1 << n) - self.low - self.rng
+        assert low_d >= 0
+        m = (1 << 14) - 1
+        e = ((low_d + m) & ~m) | (m + 1)
+        nbits_out = n - 14
+        b = e >> 14
+        nbytes = max((nbits_out + 7) // 8, 1)
+        return int(b << (nbytes * 8 - nbits_out)).to_bytes(nbytes, "big")
 
 
 def update_cdf(icdf, count: int, symbol: int) -> int:

@@ -1,0 +1,122 @@
+"""Intra prediction (spec 7.11.2), numpy reference.
+
+Edge handling follows the spec: unavailable above row is filled from the
+left column's top pixel (or mid-gray - 1), unavailable left column from the
+above row's first pixel (or mid-gray + 1).
+
+Directional modes and the intra edge filter are added with the full mode
+search; the base modes here (DC/V/H/SMOOTH*/PAETH) are what the first
+encoder slice signals.
+
+Smooth weights verified against the constants embedded in libaom/dav1d.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .enums import (
+    DC_PRED, H_PRED, PAETH_PRED, SMOOTH_H_PRED, SMOOTH_PRED, SMOOTH_V_PRED,
+    V_PRED,
+)
+
+SM_WEIGHTS = {
+    4: np.array([255, 149, 85, 64], np.int64),
+    8: np.array([255, 197, 146, 105, 73, 50, 37, 32], np.int64),
+    16: np.array([255, 225, 196, 170, 145, 123, 102, 84, 68, 54, 43, 33,
+                  26, 20, 17, 16], np.int64),
+    32: np.array([255, 240, 225, 210, 196, 182, 169, 157, 145, 133, 122,
+                  111, 101, 92, 83, 74, 66, 59, 52, 45, 39, 34, 29, 25, 21,
+                  17, 14, 12, 10, 9, 8, 8], np.int64),
+    64: np.array([255, 248, 240, 233, 225, 218, 210, 203, 196, 189, 182,
+                  176, 169, 163, 156, 150, 144, 138, 133, 127, 121, 116,
+                  111, 106, 101, 96, 91, 86, 82, 77, 73, 69, 65, 61, 57,
+                  54, 50, 47, 44, 41, 38, 35, 32, 29, 27, 25, 22, 20, 18,
+                  16, 15, 13, 12, 10, 9, 8, 7, 6, 6, 5, 5, 4, 4, 4],
+                 np.int64),
+}
+
+
+def _round2(x, n):
+    return (x + (1 << (n - 1))) >> n
+
+
+def build_edges(recon: np.ndarray, x: int, y: int, w: int, h: int,
+                have_above: bool, have_left: bool, bit_depth: int = 8):
+    """Returns (above_row[w], left_col[h], corner) int64 edge arrays."""
+    base = 1 << (bit_depth - 1)
+    if have_above:
+        avail_w = min(w, recon.shape[1] - x)
+        above = np.empty(w, np.int64)
+        above[:avail_w] = recon[y - 1, x : x + avail_w]
+        above[avail_w:] = above[avail_w - 1] if avail_w else base - 1
+    elif have_left:
+        above = np.full(w, int(recon[y, x - 1]), np.int64)
+    else:
+        above = np.full(w, base - 1, np.int64)
+    if have_left:
+        avail_h = min(h, recon.shape[0] - y)
+        left = np.empty(h, np.int64)
+        left[:avail_h] = recon[y : y + avail_h, x - 1]
+        left[avail_h:] = left[avail_h - 1] if avail_h else base + 1
+    elif have_above:
+        left = np.full(h, int(recon[y - 1, x]), np.int64)
+    else:
+        left = np.full(h, base + 1, np.int64)
+    if have_above and have_left:
+        corner = int(recon[y - 1, x - 1])
+    elif have_above:
+        corner = int(above[0])
+    elif have_left:
+        corner = int(left[0])
+    else:
+        corner = base
+    return above, left, corner
+
+
+def predict_intra(mode: int, above: np.ndarray, left: np.ndarray,
+                  corner: int, w: int, h: int, have_above: bool,
+                  have_left: bool, bit_depth: int = 8) -> np.ndarray:
+    """Predict a (h, w) block from edges (spec prediction processes)."""
+    if mode == DC_PRED:
+        if have_above and have_left:
+            s = int(above[:w].sum() + left[:h].sum())
+            val = (s + ((w + h) >> 1)) // (w + h)
+        elif have_above:
+            val = (int(above[:w].sum()) + (w >> 1)) >> int(np.log2(w))
+        elif have_left:
+            val = (int(left[:h].sum()) + (h >> 1)) >> int(np.log2(h))
+        else:
+            val = 1 << (bit_depth - 1)
+        return np.full((h, w), val, np.int64)
+    if mode == V_PRED:
+        return np.tile(above[:w], (h, 1))
+    if mode == H_PRED:
+        return np.tile(left[:h, None], (1, w))
+    if mode == PAETH_PRED:
+        a = above[None, :w]
+        l = left[:h, None]
+        base = a + l - corner
+        pa = np.abs(base - a)
+        pl = np.abs(base - l)
+        pc = np.abs(base - corner)
+        out = np.where((pa <= pl) & (pa <= pc), np.broadcast_to(a, (h, w)),
+                       np.where(pl <= pc, np.broadcast_to(l, (h, w)), corner))
+        return out.astype(np.int64)
+    if mode == SMOOTH_PRED:
+        wy = SM_WEIGHTS[h][:, None]
+        wx = SM_WEIGHTS[w][None, :]
+        below = int(left[h - 1])
+        right = int(above[w - 1])
+        num = (wy * above[None, :w] + (256 - wy) * below
+               + wx * left[:h, None] + (256 - wx) * right)
+        return _round2(num, 9)
+    if mode == SMOOTH_V_PRED:
+        wy = SM_WEIGHTS[h][:, None]
+        below = int(left[h - 1])
+        return _round2(wy * above[None, :w] + (256 - wy) * below, 8)
+    if mode == SMOOTH_H_PRED:
+        wx = SM_WEIGHTS[w][None, :]
+        right = int(above[w - 1])
+        return _round2(wx * left[:h, None] + (256 - wx) * right, 8)
+    raise NotImplementedError(f"intra mode {mode}")

@@ -224,15 +224,61 @@ def extract_modes(A, D):
     arities = [4] * 4 + [10] * 12 + [8] * 4
     hits = dedup_overlapping(find_cdf_block(A, 11, 20, arities=arities), 220)
     assert len(hits) == 1, hits
-    out["partition"] = grab(A, hits[0], (20,), 11)
+    part_off = hits[0]
+    out["partition"] = grab(A, part_off, (20,), 11)
     # kf_y_mode [5][5] arity 13
     hits = dedup_overlapping(find_cdf_block(A, 14, 25, arities=[13] * 25), 350)
     assert len(hits) == 1, hits
-    out["kf_y_mode"] = grab(A, hits[0], (5, 5), 14)
+    kf_off = hits[0]
+    out["kf_y_mode"] = grab(A, kf_off, (5, 5), 14)
+    # intra_ext_tx: [4 txsqr][13 modes] rows of width 17, set1 arity 7 then
+    # set2 arity 5, ending right before the partition table
+    set2_off = part_off - 52 * 17 - 2  # trailing alignment pad observed
+    # locate precisely by scanning backwards for 52 arity-5 rows
+    for cand in range(part_off - 52 * 17, part_off - 52 * 17 - 64, -1):
+        if all(row_arity(A, cand + r * 17, 17) == 5 for r in range(52)):
+            set2_off = cand
+            break
+    else:
+        raise SystemExit("intra_ext_tx set2 not found")
+    set1_off = set2_off - 52 * 17
+    assert all(row_arity(A, set1_off + r * 17, 17) == 7 for r in range(52)), \
+        "intra_ext_tx set1 misaligned"
+    out["intra_ext_tx_1"] = grab(A, set1_off, (4, 13), 17)[..., :8]
+    out["intra_ext_tx_2"] = grab(A, set2_off, (4, 13), 17)[..., :6]
+    # uv_mode [2][13][15]: 26 rows (13 arity-13 then 13 arity-14), right
+    # after partition
+    for cand in range(part_off + 220, part_off + 220 + 64):
+        if all(row_arity(A, cand + r * 15, 15) == 13 for r in range(13)) and \
+           all(row_arity(A, cand + (13 + r) * 15, 15) == 14 for r in range(13)):
+            out["uv_mode"] = grab(A, cand, (2, 13), 15)
+            break
+    else:
+        raise SystemExit("uv_mode not found")
+    # angle_delta [8][8] arity 7: part of the 22-row arity-7 run after kf_y
+    # (palette_y_size[7] + palette_uv_size[7] + angle_delta[8], in TU order)
+    run = None
+    for cand in range(kf_off + 350, kf_off + 350 + 128):
+        if all(row_arity(A, cand + r * 8, 8) == 7 for r in range(22)):
+            run = cand
+            break
+    if run is None:
+        raise SystemExit("arity-7 run after kf_y not found")
+    out["palette_y_size"] = grab(A, run, (7,), 8)
+    out["palette_uv_size"] = grab(A, run + 7 * 8, (7,), 8)
+    out["angle_delta"] = grab(A, run + 14 * 8, (8,), 8)
+    # tx_size [4 cats][3 ctxs][4]: cat0 arity 2, cats 1-3 arity 3 (unique)
+    want = [2] * 3 + [3] * 9
+    hits = [
+        off for off in range(len(A) - 48)
+        if all(row_arity(A, off + i * 4, 4) == want[i] for i in range(12))
+    ]
+    assert len(hits) == 1, hits
+    out["tx_size"] = grab(A, hits[0], (4, 3), 4)
     # dav1d stores some mode tables in transformed/SIMD-permuted layouts, so
     # cross-confirmation is advisory here (libaom is itself a conforming
     # decoder; behavioral stream-decode tests are the final arbiter).
-    for name in ("partition", "kf_y_mode"):
+    for name in ("partition", "kf_y_mode", "uv_mode", "intra_ext_tx_1", "intra_ext_tx_2", "angle_delta"):
         t = out[name].reshape(-1, out[name].shape[-1])
         misses = sum(
             1

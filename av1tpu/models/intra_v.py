@@ -1,0 +1,113 @@
+"""TPU intra encode pipeline, V_PRED variant.
+
+The first end-to-end TPU encode plane: fixed 16x16 luma / 8x8 chroma blocks,
+vertical prediction, DCT, uniform quantization.  V_PRED makes every block row
+depend only on the reconstructed bottom row of the row above, so the frame
+encodes as a lax.scan over block rows with all columns batched — each step is
+a large batched matmul (forward DCT) plus vectorized integer butterflies
+(normative inverse DCT), which is exactly the shape TPUs like.
+
+The one sequential seam is the first block row (blocks there predict from
+their left neighbor's top edge pixel per the spec's missing-above rule);
+it is handled by a small per-column scan.
+
+Outputs are quantized level grids plus the bit-exact reconstruction; the host
+entropy coder (native/coding) serializes the levels into a conformant tile.
+Bit-exactness of the recon against the spec model (and hence against dav1d)
+is covered by tests/test_tpu_pipeline.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from av1tpu.ops.transforms_jax import forward_matrix, inverse_transform
+from av1tpu.spec import tables
+
+
+def _quant_step(qindex: int, plane: int, bit_depth: int = 8):
+    dc = tables.dc_q(qindex, bit_depth)
+    ac = tables.ac_q(qindex, bit_depth)
+    return dc, ac
+
+
+def _plane_params(qindex: int, n: int):
+    dc, ac = tables.dc_q(qindex), tables.ac_q(qindex)
+    step = np.full((n, n), ac, np.float32)
+    step[0, 0] = dc
+    q = np.full((n, n), ac, np.int32)
+    q[0, 0] = dc
+    # cap levels so dequantized values stay well inside int32 headroom
+    cap = np.minimum((1 << 16) // q, 1 << 14).astype(np.int32)
+    return step, q, cap
+
+
+def _encode_plane(src, qindex: int, n: int, base: int, tx_type: int = 0):
+    """Encode one plane with n x n blocks, V_PRED.  src: (H, W) int32 with
+    H, W multiples of n.  Returns (levels (rows, cols, n, n) int32,
+    recon (H, W) int32)."""
+    h, w = src.shape
+    rows, cols = h // n, w // n
+    fwd = jnp.asarray(forward_matrix(n, n, tx_type))  # (n*n, n*n)
+    step_np, q_np, cap_np = _plane_params(qindex, n)
+    step = jnp.asarray(step_np.reshape(-1))
+    q = jnp.asarray(q_np.reshape(-1))
+    cap = jnp.asarray(cap_np.reshape(-1))
+
+    src_rows = src.reshape(rows, n, cols, n).transpose(0, 2, 1, 3)
+
+    def encode_blocks(blocks, pred):
+        """blocks, pred: (B, n, n) -> (levels, recon)."""
+        b = blocks.shape[0]
+        resid = (blocks - pred).reshape(b, n * n).astype(jnp.float32)
+        coefs = resid @ fwd.T
+        lv = jnp.clip(jnp.round(coefs / step).astype(jnp.int32), -cap, cap)
+        dq = lv * q
+        r = inverse_transform(dq.reshape(b, n, n), n, n, tx_type)
+        rec = jnp.clip(pred + r, 0, 255)
+        return lv.reshape(b, n, n), rec
+
+    # first block row: per-column scan (missing-above rule: the edge value is
+    # 127 for the corner, else the left neighbor's reconstructed top pixel)
+    def col_step(edge_val, block):
+        pred = jnp.full((n, n), edge_val, jnp.int32)
+        lv, rec = encode_blocks(block[None], pred[None])
+        return rec[0, 0, n - 1], (lv[0], rec[0])
+
+    _, (lv0, rec0) = jax.lax.scan(
+        col_step, jnp.int32(base - 1), src_rows[0])
+
+    # remaining rows: scan over rows, columns batched
+    def row_step(bottom, blocks):
+        pred = jnp.repeat(bottom[:, None, :], n, axis=1)
+        lv, rec = encode_blocks(blocks, pred)
+        return rec[:, n - 1, :], (lv, rec)
+
+    if rows > 1:
+        _, (lv_rest, rec_rest) = jax.lax.scan(
+            row_step, rec0[:, n - 1, :], src_rows[1:])
+        levels = jnp.concatenate([lv0[None], lv_rest], axis=0)
+        recs = jnp.concatenate([rec0[None], rec_rest], axis=0)
+    else:
+        levels, recs = lv0[None], rec0[None]
+
+    recon = recs.transpose(0, 2, 1, 3).reshape(h, w)
+    return levels, recon
+
+
+@functools.partial(jax.jit, static_argnames=("qindex",))
+def encode_intra_v(y, u, v, qindex: int):
+    """Full-frame intra V_PRED encode.  y: (H, W) int32 (16-aligned),
+    u/v: (H/2, W/2) int32 (8-aligned).  Returns dict of level grids and
+    reconstructions."""
+    # luma signals DCT_DCT; chroma tx type is derived from the uv mode
+    # (V_PRED -> ADST_DCT, spec Mode_To_Txfm)
+    ly, ry = _encode_plane(y, qindex, 16, 128, tx_type=0)
+    lu, ru = _encode_plane(u, qindex, 8, 128, tx_type=1)
+    lv, rv = _encode_plane(v, qindex, 8, 128, tx_type=1)
+    return {"levels_y": ly, "levels_u": lu, "levels_v": lv,
+            "recon_y": ry, "recon_u": ru, "recon_v": rv}

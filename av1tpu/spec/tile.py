@@ -88,7 +88,8 @@ class Planner:
         return DCT_DCT
 
     def quantize(self, tc, coefs_f: np.ndarray, plane: int, tx: int,
-                 dc_q: int, ac_q: int, shift: int) -> np.ndarray:
+                 dc_q: int, ac_q: int, shift: int, x: int = 0,
+                 y: int = 0) -> np.ndarray:
         """Round-to-nearest against the effective dequant step q / 2^shift."""
         h, w = coefs_f.shape
         step = np.full((h, w), ac_q / (1 << shift), np.float64)
@@ -461,7 +462,7 @@ class TileCoder:
             shift = _dq_shift(tx)
             levels = self.planner.quantize(
                 self, coefs_f, plane, tx, self.plane_dc_q[plane],
-                self.plane_ac_q[plane], shift)
+                self.plane_ac_q[plane], shift, x=x, y=y)
             # zero out beyond the coded 32x32 area
             if w > 32:
                 levels[:, 32:] = 0

@@ -1,0 +1,1 @@
+from .packer import Packer, encode_keyframe_tpu  # noqa: F401

@@ -1,0 +1,120 @@
+"""ctypes bridge to the production C++ tile packer (native/coding/pack.cpp)
+plus the full TPU keyframe path: TPU level grids -> C++ tile bytes -> OBUs.
+
+The packer is validated byte-for-byte against the Python spec engine
+(tests/test_packer.py), which itself is bit-exact against dav1d/libaom.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_LIB_PATH = os.path.join(REPO, "native", "build", "libav1pack.so")
+
+_I32P = ctypes.POINTER(ctypes.c_int32)
+
+
+class Packer:
+    """Serialize fixed-grid level arrays into an AV1 tile payload."""
+
+    def __init__(self, lib_path: str = _LIB_PATH):
+        self._lib = ctypes.CDLL(lib_path)
+        fn = self._lib.pack_tile_v1
+        fn.restype = ctypes.c_size_t
+        fn.argtypes = [_I32P, _I32P, _I32P, ctypes.c_int, ctypes.c_int,
+                       ctypes.c_int, ctypes.c_int,
+                       ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t]
+        self._fn = fn
+        f2 = self._lib.pack_tile_v2
+        f2.restype = ctypes.c_size_t
+        f2.argtypes = [ctypes.POINTER(ctypes.c_uint16),
+                       ctypes.POINTER(ctypes.c_int16),
+                       ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                       ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t]
+        self._fn2 = f2
+
+    def pack_tile(self, levels_y: np.ndarray, levels_u: np.ndarray,
+                  levels_v: np.ndarray, qindex: int,
+                  disable_cdf_update: bool = False) -> bytes:
+        """levels_y: (rows, cols, 16, 16) int32 block grid; levels_u/v:
+        (rows, cols, 8, 8).  Luma dims must be multiples of 64."""
+        ly = np.ascontiguousarray(levels_y, np.int32)
+        lu = np.ascontiguousarray(levels_u, np.int32)
+        lv = np.ascontiguousarray(levels_v, np.int32)
+        rows, cols = ly.shape[0], ly.shape[1]
+        assert lu.shape[:2] == (rows, cols) and lv.shape[:2] == (rows, cols)
+        mi_rows, mi_cols = rows * 4, cols * 4
+        assert mi_rows % 16 == 0 and mi_cols % 16 == 0, \
+            "packer v1 needs 64-multiple luma dims"
+        cap = ly.nbytes + lu.nbytes + lv.nbytes + 65536
+        out = (ctypes.c_uint8 * cap)()
+        n = self._fn(ly.ctypes.data_as(_I32P), lu.ctypes.data_as(_I32P),
+                     lv.ctypes.data_as(_I32P), mi_rows, mi_cols, qindex,
+                     int(disable_cdf_update), out, cap)
+        if n == 0:
+            raise RuntimeError("pack_tile_v1 failed (buffer too small?)")
+        return bytes(bytearray(out)[:n])
+
+    def pack_tile_compact(self, bitmap: np.ndarray, vals: np.ndarray,
+                          height: int, width: int, qindex: int,
+                          disable_cdf_update: bool = False) -> bytes:
+        """Pack from the compact form produced by encode_intra_v_compact:
+        significance bitmap (uint16 words) + nonzero values (int16).
+        height/width: padded luma dims (multiples of 64)."""
+        bm = np.ascontiguousarray(bitmap, np.uint16)
+        vv = np.ascontiguousarray(vals, np.int16)
+        mi_rows, mi_cols = height // 4, width // 4
+        cap = height * width * 2 + 65536
+        out = (ctypes.c_uint8 * cap)()
+        n = self._fn2(bm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                      vv.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                      mi_rows, mi_cols, qindex, int(disable_cdf_update),
+                      out, cap)
+        if n == 0:
+            raise RuntimeError("pack_tile_v2 failed (buffer too small?)")
+        return bytes(bytearray(out)[:n])
+
+
+_packer: Packer | None = None
+
+
+def _get_packer() -> Packer:
+    global _packer
+    if _packer is None:
+        _packer = Packer()
+    return _packer
+
+
+def encode_keyframe_tpu(out: dict, width: int, height: int,
+                        qindex: int) -> bytes:
+    """Wrap TPU pipeline output (encode_intra_v result dict, padded to
+    64-multiples) into a complete temporal unit.  width/height are the
+    render dimensions signalled in the frame header."""
+    from av1tpu.spec.bits import BitWriter
+    from av1tpu.spec.encode_frame import (
+        EncoderConfig, make_frame_header, make_sequence_header,
+    )
+    from av1tpu.spec.headers import write_frame_header_key, write_sequence_header
+    from av1tpu.spec.obu import (
+        OBU_FRAME, OBU_SEQUENCE_HEADER, build_obu, temporal_delimiter,
+    )
+
+    ly = np.asarray(out["levels_y"])
+    coded_h, coded_w = ly.shape[0] * 16, ly.shape[1] * 16
+    cfg = EncoderConfig(base_q_idx=qindex)
+    seq = make_sequence_header(coded_w, coded_h, cfg)
+    fh = make_frame_header(seq, cfg)
+    fh.render_width, fh.render_height = width, height
+
+    tile = _get_packer().pack_tile(ly, out["levels_u"], out["levels_v"],
+                                   qindex, bool(cfg.disable_cdf_update))
+    bw = BitWriter()
+    write_frame_header_key(seq, fh, bw)
+    bw.byte_align()
+    return (temporal_delimiter()
+            + build_obu(OBU_SEQUENCE_HEADER, write_sequence_header(seq))
+            + build_obu(OBU_FRAME, bw.bytes() + tile))

@@ -1,60 +1,96 @@
 """Benchmark entry point.  Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Current stage benchmarked: jitted 1080p frame-analysis throughput (the
-encoder pipeline grows each round; the metric converges on full 1080p encode
-fps per chip vs SVT-AV1 preset 6 — see BASELINE.md).
+Measures end-to-end 1080p AV1 intra encode fps on the attached TPU chip:
+fused uint8 source upload -> TPU encode (prediction/transform/quant, jitted)
+-> compact level fetch (significance bitmap + nonzero values; ~0.7 MB/frame
+instead of 6.3 MB dense) -> C++ entropy pack into a conformant tile.  A
+prefetch thread overlaps the TPU round-trip of frame i+1 with the host pack
+of frame i.
 
-Baseline numbers are read from benchmarks/baseline.json when present
-(produced by tools/make_baseline.py on this machine).
+qindex is calibrated so recon PSNR-Y matches the SVT-AV1 preset-6 CRF-30
+baseline (41.8 dB) on the same synthetic clip; the baseline fps (3.751,
+single-core host, benchmarks/baseline.json) was measured on this machine by
+tools/make_baseline.py.
 """
 
 import json
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
+
+QINDEX = 72  # ~= baseline PSNR-Y (41.8 dB) on the baseline clip
+FRAMES = 48
+
+
+def _pad(a, h, w):
+    out = np.zeros((h, w), np.int32)
+    ah, aw = a.shape
+    out[:ah, :aw] = a
+    out[ah:, :] = out[ah - 1 : ah, :]
+    return out
 
 
 def main():
     import jax
-    import jax.numpy as jnp
 
-    from av1tpu.core.scenes import scene_scores
+    from av1tpu.coding import Packer
+    from av1tpu.models.intra_v import (
+        encode_intra_v_chunk, fuse_planes, split_compact,
+    )
+    from av1tpu.utils import synthetic_clip
 
-    t, h, w = 16, 1080, 1920
-    rng = np.random.RandomState(0)
-    y = jnp.asarray(rng.randint(0, 255, size=(t, h, w)).astype(np.int32))
+    h, w = 1088, 1920
+    k = 4  # frames per chunk (one upload RPC + one fetch RPC per chunk)
+    clip = synthetic_clip(1920, 1080, k, seed=11)
+    chunk = np.stack(
+        [fuse_planes(_pad(clip.y[i].astype(np.int32), h, w),
+                     _pad(clip.u[i].astype(np.int32), h // 2, w // 2),
+                     _pad(clip.v[i].astype(np.int32), h // 2, w // 2))
+         for i in range(k)])
+    packer = Packer()
 
-    fn = jax.jit(scene_scores)
-    fn(y).block_until_ready()  # compile
+    def roundtrip(c):
+        """Upload a source chunk, run the TPU encode, fetch compact levels."""
+        return np.asarray(encode_intra_v_chunk(jax.device_put(c), QINDEX, h, w))
 
-    iters = 10
+    # warm up (compile)
+    count, bm, vals = split_compact(roundtrip(chunk)[0], h, w)
+    assert count <= len(vals), "compact value capacity exceeded"
+    packer.pack_tile_compact(bm, vals, h, w, QINDEX)
+
+    total_bytes = 0
+    pool = ThreadPoolExecutor(max_workers=1)
     start = time.perf_counter()
-    for _ in range(iters):
-        out = fn(y)
-    out.block_until_ready()
+    pending = pool.submit(roundtrip, chunk)
+    for i in range(0, FRAMES, k):
+        bufs = pending.result()
+        if i + k < FRAMES:
+            pending = pool.submit(roundtrip, chunk)
+        for buf in bufs:
+            count, bm, vals = split_compact(buf, h, w)
+            assert count <= len(vals)
+            tile = packer.pack_tile_compact(bm, vals, h, w, QINDEX)
+            total_bytes += len(tile)
     dt = time.perf_counter() - start
-    fps = iters * t / dt
+    fps = FRAMES / dt
 
     baseline_fps = None
-    bpath = os.path.join(os.path.dirname(__file__), "benchmarks", "baseline.json")
+    bpath = os.path.join(os.path.dirname(__file__), "benchmarks",
+                         "baseline.json")
     if os.path.exists(bpath):
         with open(bpath) as f:
-            baseline = json.load(f)
-        baseline_fps = baseline.get("svt_preset6_1080p_fps")
+            baseline_fps = json.load(f).get("svt_preset6_1080p_fps")
 
-    vs = (fps / baseline_fps) if baseline_fps else 0.0
-    print(
-        json.dumps(
-            {
-                "metric": "1080p_frame_analysis_fps",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(vs, 3),
-            }
-        )
-    )
+    vs_baseline = (fps / baseline_fps) if baseline_fps else 0.0
+    print(json.dumps({
+        "metric": "1080p_intra_encode_fps",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
 
 
 if __name__ == "__main__":

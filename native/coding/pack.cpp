@@ -1,0 +1,575 @@
+/*
+ * pack.cpp — production AV1 tile packer for the TPU encode pipeline.
+ *
+ * Serializes the fixed-grid decisions produced by the TPU pipeline
+ * (16x16 luma / 8x8 chroma blocks, V_PRED, DCT/ADST_DCT, quantized level
+ * grids) into a conformant AV1 intra tile, byte-identical to the Python spec
+ * engine (av1tpu/spec/tile.py) which is validated bit-exactly against dav1d
+ * and libaom.
+ *
+ * Range coder: daala-style with the canonical terminator; the "low"
+ * accumulator tracks the stream-space lower bound (od_ec low convention)
+ * with 16-bit pre-carry cells.
+ *
+ * v1 scope: luma dimensions multiples of 64 (the Python driver pads and
+ * signals the true size via render_size), single tile, 8-bit.
+ */
+
+#include <stdint.h>
+#include <string.h>
+
+#include <vector>
+
+#include "tables_gen.h"
+
+namespace {
+
+constexpr int PROB_TOP = 1 << 15;
+constexpr int EC_PROB_SHIFT = 6;
+constexpr int EC_MIN_PROB = 4;
+
+/* ------------------------------------------------------------------ */
+/* range encoder                                                       */
+/* ------------------------------------------------------------------ */
+
+struct Ec {
+    std::vector<uint32_t> cells;  // 16-bit pre-carry cells
+    uint64_t low = 0;             // stream-space lower bound (window)
+    int local_bits = 15;          // bits currently represented in `low`
+    unsigned rng = PROB_TOP;
+    long nbits = 15;
+
+    void flush_cell() {
+        // move the top 16 bits of the window into a cell
+        int sh = local_bits - 16;
+        cells.push_back((uint32_t)(low >> sh));
+        low &= ((uint64_t)1 << sh) - 1;
+        local_bits -= 16;
+    }
+
+    void carry_fix() {
+        // `low` may have overflowed local_bits after an add
+        if (low >> local_bits) {
+            low &= ((uint64_t)1 << local_bits) - 1;
+            // propagate +1 into cells
+            for (int i = (int)cells.size() - 1; i >= 0; i--) {
+                cells[i]++;
+                if (cells[i] <= 0xFFFF) break;
+                cells[i] = 0;
+            }
+        }
+    }
+
+    static unsigned cut(unsigned rng, int f, int remaining) {
+        return (((rng >> 8) * (unsigned)(f >> EC_PROB_SHIFT))
+                >> (7 - EC_PROB_SHIFT)) + EC_MIN_PROB * remaining;
+    }
+
+    void encode(int s, const int32_t *icdf, int n) {
+        unsigned r = rng;
+        unsigned v = cut(r, icdf[s], n - 1 - s);
+        unsigned u = s > 0 ? cut(r, icdf[s - 1], n - s) : r;
+        low += r - u;  // stream-space low accumulates the top offset
+        carry_fix();
+        rng = u - v;
+        // renorm: shift rng back into [2^15, 2^16)
+        int sh = __builtin_clz(rng) - 16;
+        if (sh > 0) {
+            rng <<= sh;
+            low <<= sh;
+            local_bits += sh;
+            nbits += sh;
+            while (local_bits >= 48) flush_cell();
+        }
+    }
+
+    void encode_bool_equi(int b) {
+        static const int32_t half[2] = {16384, 0};
+        encode(b, half, 2);
+    }
+
+    size_t done(uint8_t *out, size_t cap) {
+        // canonical daala terminator: round low up to the next odd multiple
+        // of 2^14 and emit everything above the low 14 bits
+        uint64_t m = (1 << 14) - 1;
+        uint64_t e = ((low + m) & ~m) | (m + 1);
+        if (e >> local_bits) {
+            e &= ((uint64_t)1 << local_bits) - 1;
+            for (int i = (int)cells.size() - 1; i >= 0; i--) {
+                cells[i]++;
+                if (cells[i] <= 0xFFFF) break;
+                cells[i] = 0;
+            }
+        }
+        long total_bits = nbits - 14;
+        long cell_bits = (long)cells.size() * 16;
+        long tail_bits = total_bits - cell_bits;  // bits to take from e
+        // assemble bitstream (cells are 16-bit aligned at bit offset 0)
+        size_t nbytes = (size_t)((total_bits + 7) / 8);
+        if (nbytes < 1) nbytes = 1;
+        if (nbytes > cap) return 0;
+        uint8_t *p = out;
+        for (uint32_t c : cells) {
+            *p++ = (uint8_t)(c >> 8);
+            *p++ = (uint8_t)c;
+        }
+        // top tail_bits of e (e has local_bits significant bits), msb first
+        uint64_t tail = e >> (local_bits - tail_bits);
+        long tb = tail_bits;
+        while (tb >= 8) {
+            tb -= 8;
+            *p++ = (uint8_t)(tail >> tb);
+        }
+        if (tb > 0) *p++ = (uint8_t)(tail << (8 - tb));
+        return nbytes;
+    }
+};
+
+/* ------------------------------------------------------------------ */
+/* adaptive cdfs                                                       */
+/* ------------------------------------------------------------------ */
+
+struct Cdf {
+    int32_t v[17];
+    int n;    // number of symbols
+    int count = 0;
+
+    void init(const int32_t *src, int width) {
+        n = 0;
+        for (int i = 0; i < width; i++) {
+            v[i] = src[i];
+            if (src[i] == 0) { n = i + 1; break; }
+        }
+    }
+
+    void update(int sym) {
+        static const int floorlog2[17] = {0, 0, 1, 1, 2, 2, 2, 2, 3, 3,
+                                          3, 3, 3, 3, 3, 3, 4};
+        int rate = 3 + (count > 15) + (count > 31) +
+                   (floorlog2[n] < 2 ? floorlog2[n] : 2);
+        int tmp = PROB_TOP;
+        for (int i = 0; i < n - 1; i++) {
+            if (i == sym) tmp = 0;
+            if (tmp < v[i]) v[i] -= (v[i] - tmp) >> rate;
+            else v[i] += (tmp - v[i]) >> rate;
+        }
+        count += count < 32;
+    }
+};
+
+struct Coder {
+    Ec ec;
+    bool update = true;
+    void sym(Cdf &c, int s) {
+        ec.encode(s, c.v, c.n);
+        if (update) c.update(s);
+    }
+    void literal(int v, int bits) {
+        for (int i = bits - 1; i >= 0; i--) ec.encode_bool_equi((v >> i) & 1);
+    }
+};
+
+/* ------------------------------------------------------------------ */
+/* tile state                                                          */
+/* ------------------------------------------------------------------ */
+
+struct Tile {
+    Coder co;
+    int qctx;
+    int mi_rows, mi_cols;
+    // cdfs
+    Cdf partition[20];
+    Cdf kf_y[5][5];
+    Cdf uv_mode[2][13];
+    Cdf angle_delta[8];
+    Cdf ext_tx2[4][13];
+    Cdf skip[3];
+    Cdf txb_skip[5][13];
+    Cdf eob_pt256[2][2], eob_pt64[2][2];
+    Cdf eob_extra[5][2][9];
+    Cdf base_eob[5][2][4];
+    Cdf base[5][2][42];
+    Cdf br[4][2][21];
+    Cdf dc_sign[2][3];
+    // contexts
+    std::vector<int32_t> above_part, left_part;
+    std::vector<int8_t> above_skip, left_skip;   // per block (16px)
+    std::vector<int8_t> above_mode, left_mode;   // ctx-mapped y mode
+    std::vector<int32_t> a_lvl[3], l_lvl[3], a_dc[3], l_dc[3];  // 4-px units
+
+    void init(int q, int rows, int cols) {
+        mi_rows = rows;
+        mi_cols = cols;
+        qctx = q <= 20 ? 0 : q <= 60 ? 1 : q <= 120 ? 2 : 3;
+        for (int i = 0; i < 20; i++) partition[i].init(&tab_partition[i][0], 10);
+        for (int i = 0; i < 5; i++)
+            for (int j = 0; j < 5; j++) kf_y[i][j].init(&tab_kf_y_mode[i][j][0], 13);
+        for (int i = 0; i < 2; i++)
+            for (int j = 0; j < 13; j++) uv_mode[i][j].init(&tab_uv_mode[i][j][0], 14);
+        for (int i = 0; i < 8; i++) angle_delta[i].init(&tab_angle_delta[i][0], 7);
+        for (int i = 0; i < 4; i++)
+            for (int j = 0; j < 13; j++) ext_tx2[i][j].init(&tab_intra_ext_tx_2[i][j][0], 5);
+        for (int i = 0; i < 3; i++) skip[i].init(&tab_skip[i][0], 2);
+        for (int t = 0; t < 5; t++)
+            for (int c2 = 0; c2 < 13; c2++) txb_skip[t][c2].init(&tab_txb_skip[qctx][t][c2][0], 2);
+        for (int p = 0; p < 2; p++)
+            for (int c2 = 0; c2 < 2; c2++) {
+                eob_pt256[p][c2].init(&tab_eob_pt_256[qctx][p][c2][0], 9);
+                eob_pt64[p][c2].init(&tab_eob_pt_64[qctx][p][c2][0], 7);
+            }
+        for (int t = 0; t < 5; t++)
+            for (int p = 0; p < 2; p++) {
+                for (int c2 = 0; c2 < 9; c2++) eob_extra[t][p][c2].init(&tab_eob_extra[qctx][t][p][c2][0], 2);
+                for (int c2 = 0; c2 < 4; c2++) base_eob[t][p][c2].init(&tab_coeff_base_eob[qctx][t][p][c2][0], 3);
+                for (int c2 = 0; c2 < 42; c2++) base[t][p][c2].init(&tab_coeff_base[qctx][t][p][c2][0], 4);
+            }
+        for (int t = 0; t < 4; t++)
+            for (int p = 0; p < 2; p++)
+                for (int c2 = 0; c2 < 21; c2++) br[t][p][c2].init(&tab_coeff_br[qctx][t][p][c2][0], 4);
+        for (int p = 0; p < 2; p++)
+            for (int c2 = 0; c2 < 3; c2++) dc_sign[p][c2].init(&tab_dc_sign[qctx][p][c2][0], 2);
+
+        above_part.assign(mi_cols, 0);
+        left_part.assign(mi_rows, 0);
+        int bcols = mi_cols / 4, brows = mi_rows / 4;
+        above_skip.assign(bcols, 0);
+        left_skip.assign(brows, 0);
+        above_mode.assign(bcols, 0);
+        left_mode.assign(brows, 0);
+        for (int p2 = 0; p2 < 3; p2++) {
+            a_lvl[p2].assign(mi_cols + 8, 0);
+            l_lvl[p2].assign(mi_rows + 8, 0);
+            a_dc[p2].assign(mi_cols + 8, 0);
+            l_dc[p2].assign(mi_rows + 8, 0);
+        }
+    }
+
+    int part_ctx(int r, int c, int bsl) {
+        int above = r > 0 ? (above_part[c] >> bsl) & 1 : 0;
+        int left = c > 0 ? (left_part[r] >> bsl) & 1 : 0;
+        return left * 2 + above;
+    }
+
+    void update_part_ctx(int r, int c, int mi_w, int mi_h, int sub_wlog,
+                         int sub_hlog) {
+        int ac = 64 - (1 << (sub_wlog + 1));
+        int lc = 64 - (1 << (sub_hlog + 1));
+        for (int i = 0; i < mi_w; i++) above_part[c + i] = ac;
+        for (int i = 0; i < mi_h; i++) left_part[r + i] = lc;
+    }
+};
+
+/* coefficient helpers ------------------------------------------------ */
+
+static int base_ctx_offset(int row, int col) {  // square txs
+    if (row == 0 && col == 0) return 0;
+    int s = row + col;
+    if (s < 2) return 1;
+    if (s < 4) return 6;
+    return 21;
+}
+
+// returns eob (count of coded coefficients in scan order)
+static int compute_eob(const int32_t *lv, const int32_t *scan, int ncoef) {
+    int eob = 0;
+    for (int i = 0; i < ncoef; i++)
+        if (lv[scan[i]]) eob = i + 1;
+    return eob;
+}
+
+static void code_coeffs(Tile &T, int plane, int x, int y, int n,
+                        const int32_t *lv, int tx_type_sym) {
+    // n = tx dim (16 luma / 8 chroma); square txs only
+    int txs = n == 16 ? 2 : 1;
+    int ptype = plane ? 1 : 0;
+    int x4 = x >> 2, y4 = y >> 2, w4 = n >> 2;
+    const int32_t *scan = n == 16 ? &scan_16_16[0] : &scan_8_8[0];
+    int ncoef = n * n;
+
+    // txb_skip ctx: block size == tx size -> 0 for luma; 7+a+l chroma
+    int ctx;
+    if (plane == 0) ctx = 0;
+    else {
+        int a = 0, l = 0;
+        for (int i = 0; i < w4; i++) {
+            a |= (T.a_lvl[plane][x4 + i] | T.a_dc[plane][x4 + i]) != 0;
+            l |= (T.l_lvl[plane][y4 + i] | T.l_dc[plane][y4 + i]) != 0;
+        }
+        ctx = 7 + a + l;
+    }
+    int eob = compute_eob(lv, scan, ncoef);
+    T.co.sym(T.txb_skip[txs][ctx], eob == 0);
+    if (eob == 0) {
+        for (int i = 0; i < w4; i++) {
+            T.a_lvl[plane][x4 + i] = 0; T.a_dc[plane][x4 + i] = 0;
+        }
+        for (int i = 0; i < w4; i++) {
+            T.l_lvl[plane][y4 + i] = 0; T.l_dc[plane][y4 + i] = 0;
+        }
+        return;
+    }
+    if (plane == 0) {
+        // tx type, intra set 2 (16x16), cdf indexed by [tx_sqr][y mode]
+        T.co.sym(T.ext_tx2[2][1], tx_type_sym);
+    }
+    // eob_pt
+    int eob_pt = eob <= 2 ? eob : (32 - __builtin_clz(eob - 1)) + 1;
+    Cdf &ptcdf = n == 16 ? T.eob_pt256[ptype][1] : T.eob_pt64[ptype][1];
+    T.co.sym(ptcdf, eob_pt - 1);
+    if (eob_pt > 2) {
+        int ne = eob_pt - 2;
+        int rem = eob - ((1 << (eob_pt - 2)) + 1);
+        T.co.sym(T.eob_extra[txs][ptype][eob_pt - 3], (rem >> (ne - 1)) & 1);
+        for (int i = 1; i < ne; i++)
+            T.co.literal((rem >> (ne - 1 - i)) & 1, 1);
+    }
+    // levels, backward scan
+    uint8_t pad[34 * 34];
+    memset(pad, 0, sizeof(pad));
+    const int stride = n + 2;
+    for (int ci = eob - 1; ci >= 0; ci--) {
+        int pos = scan[ci], row = pos / n, col = pos % n;
+        int full = lv[pos] < 0 ? -lv[pos] : lv[pos];
+        int coded = full < 3 ? full : 3;
+        if (ci == eob - 1) {
+            int ectx = ci == 0 ? 0 : ci <= ncoef / 8 ? 1 : ci <= ncoef / 4 ? 2 : 3;
+            T.co.sym(T.base_eob[txs][ptype][ectx], coded - 1);
+        } else {
+            int mag = 0;
+            int p0 = row * stride + col;
+            int m;
+            m = pad[p0 + 1]; mag += m < 3 ? m : 3;
+            m = pad[p0 + stride]; mag += m < 3 ? m : 3;
+            m = pad[p0 + stride + 1]; mag += m < 3 ? m : 3;
+            m = pad[p0 + 2]; mag += m < 3 ? m : 3;
+            m = pad[p0 + 2 * stride]; mag += m < 3 ? m : 3;
+            int bctx = (mag + 1) >> 1;
+            if (bctx > 4) bctx = 4;
+            bctx += base_ctx_offset(row, col);
+            if (pos == 0) bctx = 0;
+            T.co.sym(T.base[txs][ptype][bctx], coded);
+        }
+        if (coded > 2) {
+            int p0 = row * stride + col;
+            int brmag = pad[p0 + 1] + pad[p0 + stride] + pad[p0 + stride + 1];
+            int brctx = (brmag + 1) >> 1;
+            if (brctx > 6) brctx = 6;
+            if (pos != 0) brctx += (row < 2 && col < 2) ? 7 : 14;
+            int brt = txs < 3 ? txs : 3;
+            int cur = coded;
+            for (int it = 0; it < 4; it++) {
+                int inc = full - cur < 3 ? full - cur : 3;
+                T.co.sym(T.br[brt][ptype][brctx], inc);
+                cur += inc;
+                if (inc < 3) break;
+            }
+            coded = cur;
+        }
+        pad[row * stride + col] = coded < 127 ? coded : 127;
+    }
+    // signs + golomb, forward
+    int cul = 0, dccat = 0;
+    for (int ci = 0; ci < eob; ci++) {
+        int pos = scan[ci];
+        int v = lv[pos];
+        if (!v) continue;
+        int sign = v < 0;
+        int mag = sign ? -v : v;
+        if (ci == 0) {
+            int t = 0;
+            for (int i = 0; i < w4; i++) {
+                int av = T.a_dc[plane][x4 + i];
+                t += av == 1 ? 1 : av == 2 ? -1 : 0;
+                int lvv = T.l_dc[plane][y4 + i];
+                t += lvv == 1 ? 1 : lvv == 2 ? -1 : 0;
+            }
+            int dctx = t == 0 ? 0 : t > 0 ? 2 : 1;
+            T.co.sym(T.dc_sign[ptype][dctx], sign);
+            dccat = sign ? 2 : 1;
+        } else {
+            T.co.literal(sign, 1);
+        }
+        if (mag > 14) {
+            int g = mag - 15;
+            int xg = g + 1;
+            int nb = 32 - __builtin_clz(xg);
+            for (int i = 0; i < nb - 1; i++) T.co.literal(0, 1);
+            for (int i = nb - 1; i >= 0; i--) T.co.literal((xg >> i) & 1, 1);
+        }
+        cul += mag;
+    }
+    if (cul > 63) cul = 63;
+    for (int i = 0; i < w4; i++) {
+        T.a_lvl[plane][x4 + i] = cul; T.a_dc[plane][x4 + i] = dccat;
+        T.l_lvl[plane][y4 + i] = cul; T.l_dc[plane][y4 + i] = dccat;
+    }
+}
+
+/* block + partition ---------------------------------------------------- */
+
+struct Grids {
+    // dense mode: per-block level arrays
+    const int32_t *ly = nullptr, *lu = nullptr, *lv = nullptr;
+    // compact mode: significance bitmap (16 coefs/word, LSB first, layout
+    // = all luma blocks then u then v) + packed nonzero values
+    const uint16_t *bitmap = nullptr;
+    const int16_t *vals = nullptr;
+    std::vector<uint32_t> voff;  // per-block value offset (y, then u, then v)
+    int bcols = 0, brows = 0;
+    // per-block scratch, filled by load()
+    int32_t sy[256], su[64], sv[64];
+    bool zy, zu, zv;
+
+    void build_offsets() {
+        int nb = bcols * brows;
+        voff.resize(3 * nb);
+        uint32_t acc = 0;
+        size_t word = 0;
+        for (int sect = 0; sect < 3; sect++) {
+            int words_per = sect == 0 ? 16 : 4;
+            for (int b = 0; b < nb; b++) {
+                voff[sect * nb + b] = acc;
+                for (int i = 0; i < words_per; i++)
+                    acc += __builtin_popcount(bitmap[word++]);
+            }
+        }
+    }
+
+    static bool expand(const uint16_t *bm, int words, const int16_t *v,
+                       uint32_t off, int32_t *out) {
+        bool zero = true;
+        memset(out, 0, (size_t)words * 16 * sizeof(int32_t));
+        for (int w2 = 0; w2 < words; w2++) {
+            unsigned m = bm[w2];
+            while (m) {
+                int t = __builtin_ctz(m);
+                out[w2 * 16 + t] = v[off++];
+                m &= m - 1;
+                zero = false;
+            }
+        }
+        return zero;
+    }
+
+    void load(int by, int bx) {
+        int b = by * bcols + bx, nb = bcols * brows;
+        if (bitmap) {
+            zy = expand(bitmap + (size_t)b * 16, 16, vals, voff[b], sy);
+            zu = expand(bitmap + (size_t)nb * 16 + (size_t)b * 4, 4, vals,
+                        voff[nb + b], su);
+            zv = expand(bitmap + (size_t)nb * 20 + (size_t)b * 4, 4, vals,
+                        voff[2 * nb + b], sv);
+        } else {
+            const int32_t *py = ly + ((size_t)b) * 256;
+            const int32_t *pu = lu + ((size_t)b) * 64;
+            const int32_t *pv = lv + ((size_t)b) * 64;
+            memcpy(sy, py, sizeof(sy));
+            memcpy(su, pu, sizeof(su));
+            memcpy(sv, pv, sizeof(sv));
+            zy = zu = zv = true;
+            for (int i = 0; i < 256 && zy; i++) zy = py[i] == 0;
+            for (int i = 0; i < 64 && zu; i++) zu = pu[i] == 0;
+            for (int i = 0; i < 64 && zv; i++) zv = pv[i] == 0;
+        }
+    }
+};
+
+static const int INTRA_MODE_CTX[13] = {0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0};
+
+static void code_block(Tile &T, Grids &G, int r, int c) {
+    // r, c in mi units; block = 16x16 at (bx, by)
+    int by = r / 4, bx = c / 4;
+    G.load(by, bx);
+    const int32_t *ly = G.sy, *lu = G.su, *lvp = G.sv;
+    int skip = G.zy && G.zu && G.zv;
+
+    int sctx = (r > 0 ? T.above_skip[bx] : 0) + (c > 0 ? T.left_skip[by] : 0);
+    T.co.sym(T.skip[sctx], skip);
+
+    int am = r > 0 ? T.above_mode[bx] : 0;
+    int lm = c > 0 ? T.left_mode[by] : 0;
+    T.co.sym(T.kf_y[am][lm], 1);          // V_PRED
+    T.co.sym(T.angle_delta[0], 3);        // delta 0
+    T.co.sym(T.uv_mode[1][1], 1);         // uv V_PRED (cfl allowed ctx)
+    T.co.sym(T.angle_delta[0], 3);        // uv delta 0
+
+    T.above_skip[bx] = skip;
+    T.left_skip[by] = skip;
+    T.above_mode[bx] = INTRA_MODE_CTX[1];
+    T.left_mode[by] = INTRA_MODE_CTX[1];
+
+    if (!skip) {
+        code_coeffs(T, 0, c * 4, r * 4, 16, ly, 1);
+        code_coeffs(T, 1, c * 2, r * 2, 8, lu, 0);
+        code_coeffs(T, 2, c * 2, r * 2, 8, lvp, 0);
+    } else {
+        for (int p = 0; p < 3; p++) {
+            int sub = p ? 1 : 0;
+            int x4 = (c * 4 >> sub) >> 2, y4 = (r * 4 >> sub) >> 2;
+            int w4 = (16 >> sub) >> 2;
+            for (int i = 0; i < w4; i++) {
+                T.a_lvl[p][x4 + i] = 0; T.a_dc[p][x4 + i] = 0;
+                T.l_lvl[p][y4 + i] = 0; T.l_dc[p][y4 + i] = 0;
+            }
+        }
+    }
+    T.update_part_ctx(r, c, 4, 4, 2, 2);
+}
+
+static void code_partition(Tile &T, Grids &G, int r, int c, int bsl) {
+    // bsl: 4 = 64x64, 3 = 32x32, 2 = 16x16 (mi width log2)
+    if (r >= T.mi_rows || c >= T.mi_cols) return;
+    int ctx = (bsl - 1) * 4 + T.part_ctx(r, c, bsl);
+    if (bsl == 2) {
+        T.co.sym(T.partition[ctx], 0);  // NONE
+        code_block(T, G, r, c);
+        return;
+    }
+    T.co.sym(T.partition[ctx], 3);      // SPLIT
+    int half = 1 << (bsl - 1);
+    code_partition(T, G, r, c, bsl - 1);
+    code_partition(T, G, r, c + half, bsl - 1);
+    code_partition(T, G, r + half, c, bsl - 1);
+    code_partition(T, G, r + half, c + half, bsl - 1);
+}
+
+}  // namespace
+
+extern "C" {
+
+static size_t run_pack(Tile &T, Grids &G, int mi_rows, int mi_cols,
+                       uint8_t *out, size_t cap) {
+    for (int r = 0; r < mi_rows; r += 16)
+        for (int c = 0; c < mi_cols; c += 16)
+            code_partition(T, G, r, c, 4);
+    return T.co.ec.done(out, cap);
+}
+
+size_t pack_tile_v1(const int32_t *ly, const int32_t *lu, const int32_t *lv,
+                    int mi_rows, int mi_cols, int qindex, int disable_update,
+                    uint8_t *out, size_t cap) {
+    Tile T;
+    T.init(qindex, mi_rows, mi_cols);
+    T.co.update = !disable_update;
+    Grids G;
+    G.ly = ly; G.lu = lu; G.lv = lv;
+    G.bcols = mi_cols / 4; G.brows = mi_rows / 4;
+    return run_pack(T, G, mi_rows, mi_cols, out, cap);
+}
+
+// compact input: significance bitmap + packed nonzero values (see
+// av1tpu/models/intra_v.py encode_intra_v_compact for the layout)
+size_t pack_tile_v2(const uint16_t *bitmap, const int16_t *vals,
+                    int mi_rows, int mi_cols, int qindex, int disable_update,
+                    uint8_t *out, size_t cap) {
+    Tile T;
+    T.init(qindex, mi_rows, mi_cols);
+    T.co.update = !disable_update;
+    Grids G;
+    G.bitmap = bitmap; G.vals = vals;
+    G.bcols = mi_cols / 4; G.brows = mi_rows / 4;
+    G.build_offsets();
+    return run_pack(T, G, mi_rows, mi_cols, out, cap);
+}
+
+}  // extern "C"

@@ -1,0 +1,172 @@
+"""Command-line encoder: the daemon's encode backend.
+
+    python3 -m av1tpu.cli encode -i INPUT -o OUTPUT.ivf \
+        [--qindex N] [--workers W] [--chunk K] [--max-frames N]
+
+Replaces the reference's external `av1an` invocation
+(reference crates/daemon/src/encode/av1an.rs:79-139): instead of shelling to
+an SVT-AV1 chunk farm, frames go through the TPU intra pipeline
+(av1tpu.models.intra_v) and the C++ entropy packer, producing an IVF.
+Non-y4m inputs are demuxed/decoded to y4m via the native av1_tool first.
+
+Prints one JSON stats line on success.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+AV1_TOOL = os.path.join(REPO, "native", "build", "av1_tool")
+
+
+def _pad_plane(a: np.ndarray, h: int, w: int) -> np.ndarray:
+    out = np.zeros((h, w), np.int32)
+    ah, aw = a.shape
+    out[:ah, :aw] = a
+    if aw < w:
+        out[:ah, aw:] = out[:ah, aw - 1 : aw]
+    if ah < h:
+        out[ah:, :] = out[ah - 1 : ah, :]
+    return out
+
+
+def encode_clip(clip, qindex: int, chunk: int = 4,
+                progress=None) -> tuple[list[bytes], dict]:
+    """Encode every frame of a Clip as an AV1 keyframe TU.  Returns
+    (per-frame OBU streams, stats)."""
+    import jax
+
+    from av1tpu.coding import Packer, encode_keyframe_tpu
+    from av1tpu.models.intra_v import (
+        encode_intra_v_chunk, fuse_planes, split_compact,
+    )
+
+    width, height = clip.width, clip.height
+    cw = (width + 63) & ~63
+    ch = (height + 63) & ~63
+    packer = Packer()
+    streams: list[bytes] = []
+    t0 = time.perf_counter()
+    n = clip.num_frames
+
+    for base in range(0, n, chunk):
+        k = min(chunk, n - base)
+        fused = np.stack([
+            fuse_planes(_pad_plane(clip.y[base + i].astype(np.int32), ch, cw),
+                        _pad_plane(clip.u[base + i].astype(np.int32),
+                                   ch // 2, cw // 2),
+                        _pad_plane(clip.v[base + i].astype(np.int32),
+                                   ch // 2, cw // 2))
+            for i in range(k)])
+        if k < chunk:  # keep one compiled shape
+            fused = np.concatenate(
+                [fused, np.repeat(fused[-1:], chunk - k, axis=0)])
+        bufs = np.asarray(
+            encode_intra_v_chunk(jax.device_put(fused), qindex, ch, cw))
+        for i in range(k):
+            count, bm, vals = split_compact(bufs[i], ch, cw)
+            if count > len(vals):
+                raise RuntimeError("compact capacity exceeded; raise cap")
+            tile = packer.pack_tile_compact(bm, vals, ch, cw, qindex)
+            streams.append(_wrap_tu(tile, cw, ch, width, height, qindex))
+        if progress:
+            progress(base + k, n)
+
+    dt = time.perf_counter() - t0
+    stats = {
+        "frames": n,
+        "bytes": sum(len(s) for s in streams),
+        "encode_seconds": round(dt, 3),
+        "encode_fps": round(n / dt, 3) if dt > 0 else 0.0,
+        "width": width,
+        "height": height,
+        "qindex": qindex,
+    }
+    return streams, stats
+
+
+def _wrap_tu(tile: bytes, coded_w: int, coded_h: int, render_w: int,
+             render_h: int, qindex: int) -> bytes:
+    from av1tpu.spec.bits import BitWriter
+    from av1tpu.spec.encode_frame import (
+        EncoderConfig, make_frame_header, make_sequence_header,
+    )
+    from av1tpu.spec.headers import (
+        write_frame_header_key, write_sequence_header,
+    )
+    from av1tpu.spec.obu import (
+        OBU_FRAME, OBU_SEQUENCE_HEADER, build_obu, temporal_delimiter,
+    )
+
+    cfg = EncoderConfig(base_q_idx=qindex)
+    seq = make_sequence_header(coded_w, coded_h, cfg)
+    fh = make_frame_header(seq, cfg)
+    fh.render_width, fh.render_height = render_w, render_h
+    bw = BitWriter()
+    write_frame_header_key(seq, fh, bw)
+    bw.byte_align()
+    return (temporal_delimiter()
+            + build_obu(OBU_SEQUENCE_HEADER, write_sequence_header(seq))
+            + build_obu(OBU_FRAME, bw.bytes() + tile))
+
+
+def _to_y4m(path: str, tmpdir: str) -> str:
+    if path.lower().endswith(".y4m"):
+        return path
+    if not os.path.exists(AV1_TOOL):
+        raise RuntimeError("native av1_tool not built; cannot demux " + path)
+    out = os.path.join(tmpdir, "source.y4m")
+    r = subprocess.run([AV1_TOOL, "decode", path, out, "--codec", "auto"],
+                       capture_output=True, text=True)
+    if r.returncode != 0:
+        raise RuntimeError("source decode failed: " + r.stderr.strip())
+    return out
+
+
+def cmd_encode(args) -> int:
+    from av1tpu.spec.obu import write_ivf
+    from av1tpu.utils import read_y4m
+
+    with tempfile.TemporaryDirectory(dir=args.temp or None) as tmpdir:
+        y4m = _to_y4m(args.input, tmpdir)
+        clip = read_y4m(y4m)
+        if args.max_frames and clip.num_frames > args.max_frames:
+            clip.y = clip.y[: args.max_frames]
+            clip.u = clip.u[: args.max_frames]
+            clip.v = clip.v[: args.max_frames]
+        streams, stats = encode_clip(clip, args.qindex, chunk=args.chunk)
+        write_ivf(args.output, streams, clip.width, clip.height)
+    stats["output"] = args.output
+    print(json.dumps(stats))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="av1tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    enc = sub.add_parser("encode", help="encode a video to AV1 (IVF)")
+    enc.add_argument("-i", "--input", required=True)
+    enc.add_argument("-o", "--output", required=True)
+    enc.add_argument("--qindex", type=int, default=72)
+    enc.add_argument("--workers", type=int, default=1,
+                     help="accepted for daemon compatibility (single chip)")
+    enc.add_argument("--chunk", type=int, default=4,
+                     help="frames per TPU round-trip")
+    enc.add_argument("--temp", default=None, help="temp directory")
+    enc.add_argument("--max-frames", type=int, default=0)
+    enc.set_defaults(fn=cmd_encode)
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -203,12 +203,17 @@ static int cmd_encode(int argc, char **argv) {
     }
     if ((err = avcodec_open2(ectx, enc, NULL)) < 0) die("open encoder", err);
 
-    /* ivf muxer */
+    /* muxer: ivf for .ivf outputs, else guessed from the file extension
+       (lets tests produce non-AV1 .mkv/.mp4 fixtures with e.g. mpeg4) */
     AVFormatContext *ofmt = NULL;
-    if ((err = avformat_alloc_output_context2(&ofmt, NULL, "ivf", out)) < 0)
+    const char *fmt_name = NULL;
+    size_t olen = strlen(out);
+    if (olen > 4 && !strcmp(out + olen - 4, ".ivf")) fmt_name = "ivf";
+    if ((err = avformat_alloc_output_context2(&ofmt, NULL, fmt_name, out)) < 0)
         die("alloc output", err);
     AVStream *ost = avformat_new_stream(ofmt, NULL);
     avcodec_parameters_from_context(ost->codecpar, ectx);
+    ost->codecpar->codec_tag = 0;
     ost->time_base = ectx->time_base;
     if ((err = avio_open(&ofmt->pb, out, AVIO_FLAG_WRITE)) < 0) die("open out file", err);
     if ((err = avformat_write_header(ofmt, NULL)) < 0) die("write header", err);

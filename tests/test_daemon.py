@@ -1,0 +1,244 @@
+"""Integration tests for the C++ daemon: scan -> gates -> classify -> job ->
+encode -> validate -> size-gate -> atomic replace, plus the /metrics HTTP
+endpoint and the persistent job store.  The encode backend is injected via
+[tpu].encode_cmd (a fake instant encoder copying a pre-built valid AV1 IVF),
+per SURVEY §4's fake-backend recommendation; the rest of the pipeline is
+fully real (libavformat probe, size gate, replace)."""
+
+import json
+import os
+import shutil
+import signal
+import subprocess
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DAEMON = os.path.join(REPO, "native", "build", "av1tpu-daemon")
+SELFTEST = os.path.join(REPO, "native", "build", "av1d_selftest")
+TOOL = os.path.join(REPO, "native", "build", "av1_tool")
+
+pytestmark = pytest.mark.skipif(not os.path.exists(DAEMON),
+                                reason="daemon not built")
+
+
+def test_cpp_unit_selftest():
+    r = subprocess.run([SELFTEST], capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
+@pytest.fixture(scope="module")
+def fixtures(tmp_path_factory):
+    """A non-AV1 mkv source + a small valid AV1 ivf (the fake encode
+    output)."""
+    base = tmp_path_factory.mktemp("fixtures")
+    from av1tpu.utils import synthetic_clip, write_y4m
+    clip = synthetic_clip(320, 180, 12, seed=3)
+    y4m = str(base / "src.y4m")
+    write_y4m(y4m, clip)
+    mkv = str(base / "source.mkv")
+    r = subprocess.run([TOOL, "encode", y4m, mkv, "--codec", "mpeg4"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    ivf = str(base / "encoded.ivf")
+    r = subprocess.run([TOOL, "encode", y4m, ivf, "--codec", "libaom-av1",
+                        "--preset", "8", "--crf", "50"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert os.path.getsize(ivf) < os.path.getsize(mkv)
+    return {"mkv": mkv, "ivf": ivf}
+
+
+def _write_config(tmp_path, library, fixtures, extra=""):
+    cfg = tmp_path / "config.toml"
+    cfg.write_text(f"""
+[cpu]
+logical_cores = 2
+
+[scan]
+library_roots = ["{library}"]
+stability_wait_secs = 0
+scan_interval_secs = 1
+
+[paths]
+job_state_dir = "{tmp_path}/jobs"
+temp_output_dir = "{tmp_path}/temp"
+
+[gates]
+min_bytes = 1
+
+[tpu]
+encode_cmd = "cp {fixtures['ivf']} {{output}}"
+{extra}
+""")
+    return str(cfg)
+
+
+def _run_once(cfg):
+    return subprocess.run([DAEMON, "--config", cfg, "--metrics-port", "0",
+                           "--once"], capture_output=True, text=True,
+                          timeout=120)
+
+
+def test_full_pipeline_replaces_original(tmp_path, fixtures):
+    lib = tmp_path / "library"
+    lib.mkdir()
+    target = lib / "Show.S01E01.WEBRip.mkv"
+    shutil.copy(fixtures["mkv"], target)
+    cfg = _write_config(tmp_path, lib, fixtures)
+
+    r = _run_once(cfg)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "completed=1 failed=0" in r.stdout
+
+    # original replaced by the encoded .ivf
+    assert not target.exists()
+    replaced = lib / "Show.S01E01.WEBRip.ivf"
+    assert replaced.exists()
+    assert replaced.read_bytes() == open(fixtures["ivf"], "rb").read()
+    # no backup kept (keep_original defaults false)
+    assert not list(lib.glob("*.orig.*"))
+
+    # job store: exactly one job, success/complete, classified web-like
+    jobs = list((tmp_path / "jobs").glob("*.json"))
+    assert len(jobs) == 1
+    j = json.loads(jobs[0].read_text())
+    assert j["status"] == "success"
+    assert j["stage"] == "complete"
+    assert j["source_type"] == "web-like"
+    assert j["probe"]["video_streams"][0]["codec"] == "mpeg4"
+    assert j["output_bytes"] == os.path.getsize(fixtures["ivf"])
+
+    # second cycle: nothing to do (file is now .ivf -> gated as already AV1)
+    r2 = _run_once(cfg)
+    assert "enqueued 0 job(s)" in r2.stdout
+
+
+def test_gate_skip_writes_markers(tmp_path, fixtures):
+    lib = tmp_path / "library"
+    lib.mkdir()
+    target = lib / "small.mkv"
+    shutil.copy(fixtures["mkv"], target)
+    cfg = _write_config(tmp_path, lib, fixtures)
+    # min_bytes above the file size -> gate skip
+    text = open(cfg).read().replace("min_bytes = 1",
+                                    "min_bytes = 999999999")
+    open(cfg, "w").write(text)
+
+    r = _run_once(cfg)
+    assert r.returncode == 0
+    assert "enqueued 0 job(s)" in r.stdout
+    assert target.exists()  # untouched
+    assert (lib / "small.mkv.av1skip").exists()
+    why = (lib / "small.mkv.why.txt").read_text()
+    assert "minimum size" in why
+    # marked files are excluded from the next scan
+    r2 = _run_once(cfg)
+    assert "enqueued 0 job(s)" in r2.stdout
+
+
+def test_size_gate_rejects_and_preserves_original(tmp_path, fixtures):
+    lib = tmp_path / "library"
+    lib.mkdir()
+    target = lib / "movie.bluray.mkv"
+    shutil.copy(fixtures["mkv"], target)
+    # fake encoder output = an AV1 ivf padded LARGER than the original
+    big = tmp_path / "big.ivf"
+    data = open(fixtures["ivf"], "rb").read()
+    pad = os.path.getsize(target) - len(data) + 4096
+    big.write_bytes(data + b"\0" * pad)
+    cfg = _write_config(tmp_path, lib, {"ivf": str(big)})
+
+    r = _run_once(cfg)
+    assert r.returncode == 0
+    assert "completed=0" in r.stdout
+    assert target.exists()  # original preserved
+    assert (lib / "movie.bluray.mkv.av1skip").exists()
+    jobs = [json.loads(p.read_text())
+            for p in (tmp_path / "jobs").glob("*.json")]
+    assert len(jobs) == 1
+    assert jobs[0]["status"] == "skipped"
+    assert jobs[0]["stage"] == "size_gating"
+    assert jobs[0]["source_type"] == "disc-like"
+    # temp output cleaned up
+    assert not list((tmp_path / "temp").glob("*.ivf"))
+
+
+def test_failed_encode_marks_job_failed(tmp_path, fixtures):
+    lib = tmp_path / "library"
+    lib.mkdir()
+    shutil.copy(fixtures["mkv"], lib / "x.mkv")
+    cfg = _write_config(tmp_path, lib, fixtures)
+    text = open(cfg).read()
+    text = text.replace(f"cp {fixtures['ivf']}", "false # ")
+    open(cfg, "w").write(text)
+
+    r = _run_once(cfg)
+    assert "failed=1" in r.stdout
+    assert (lib / "x.mkv").exists()
+    jobs = [json.loads(p.read_text())
+            for p in (tmp_path / "jobs").glob("*.json")]
+    assert jobs[0]["status"] == "failed"
+    assert "status" in jobs[0]["error"] or "output" in jobs[0]["error"]
+
+
+def test_hardware_flag_rejected_at_startup(tmp_path, fixtures):
+    lib = tmp_path / "library"
+    lib.mkdir()
+    cfg = _write_config(tmp_path, lib, fixtures)
+    text = open(cfg).read().replace(
+        f"cp {fixtures['ivf']}", "encoder --enable-nvenc ")
+    open(cfg, "w").write(text)
+    r = _run_once(cfg)
+    assert r.returncode == 1
+    assert "nvenc" in r.stdout + r.stderr
+
+
+def test_metrics_endpoint(tmp_path, fixtures):
+    lib = tmp_path / "library"
+    lib.mkdir()
+    shutil.copy(fixtures["mkv"], lib / "a.webrip.mkv")
+    cfg = _write_config(tmp_path, lib, fixtures)
+    port = 17878
+    proc = subprocess.Popen(
+        [DAEMON, "--config", cfg, "--metrics-port", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+    try:
+        snap = None
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/metrics", timeout=2) as u:
+                    assert u.headers["Content-Type"] == "application/json"
+                    snap = json.loads(u.read())
+                if snap["completed_jobs"] >= 1:
+                    break
+            except (ConnectionError, OSError):
+                pass
+            time.sleep(0.5)
+        assert snap is not None, "metrics endpoint never came up"
+        assert snap["completed_jobs"] >= 1
+        assert snap["total_bytes_encoded"] == os.path.getsize(fixtures["ivf"])
+        for key in ("timestamp_unix_ms", "jobs", "system", "queue_len",
+                    "running_jobs", "failed_jobs"):
+            assert key in snap
+        for key in ("cpu_usage_percent", "mem_usage_percent", "load_avg_1",
+                    "load_avg_5", "load_avg_15"):
+            assert key in snap["system"]
+        # 404 for other paths
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/other",
+                                   timeout=2)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        try:
+            proc.wait(timeout=20)
+        except subprocess.TimeoutExpired:
+            proc.kill()

@@ -39,13 +39,18 @@ def _pad_plane(a: np.ndarray, h: int, w: int) -> np.ndarray:
     return out
 
 
-def encode_clip(clip, qindex: int, chunk: int = 4,
-                progress=None) -> tuple[list[bytes], dict]:
-    """Encode every frame of a Clip as an AV1 keyframe TU.  Returns
-    (per-frame OBU streams, stats)."""
+def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
+                target_quality: float = 0.0,
+                metric: str = "vmaf") -> tuple[list[bytes], dict]:
+    """Encode every frame of a Clip as an AV1 keyframe TU.  With
+    target_quality > 0, a per-chunk CQ bisection picks the coarsest qindex
+    whose first-frame score meets the target (av1an --target-quality
+    equivalent).  Returns (per-frame OBU streams, stats)."""
     import jax
 
     from av1tpu.coding import Packer, encode_keyframe_tpu
+    from av1tpu.metrics.quality import psnr
+    from av1tpu.models.cq import cq_search, probe_quality
     from av1tpu.models.intra_v import (
         encode_intra_v_chunk, fuse_planes, split_compact,
     )
@@ -57,27 +62,44 @@ def encode_clip(clip, qindex: int, chunk: int = 4,
     streams: list[bytes] = []
     t0 = time.perf_counter()
     n = clip.num_frames
+    q_used: list[int] = []
+    scores: list[float] = []
+    psnrs: list[float] = []
 
     for base in range(0, n, chunk):
         k = min(chunk, n - base)
-        fused = np.stack([
-            fuse_planes(_pad_plane(clip.y[base + i].astype(np.int32), ch, cw),
-                        _pad_plane(clip.u[base + i].astype(np.int32),
-                                   ch // 2, cw // 2),
-                        _pad_plane(clip.v[base + i].astype(np.int32),
-                                   ch // 2, cw // 2))
-            for i in range(k)])
+        planes = [
+            (_pad_plane(clip.y[base + i].astype(np.int32), ch, cw),
+             _pad_plane(clip.u[base + i].astype(np.int32), ch // 2, cw // 2),
+             _pad_plane(clip.v[base + i].astype(np.int32), ch // 2, cw // 2))
+            for i in range(k)]
+        fused = np.stack([fuse_planes(*p) for p in planes])
         if k < chunk:  # keep one compiled shape
             fused = np.concatenate(
                 [fused, np.repeat(fused[-1:], chunk - k, axis=0)])
+
+        yj = jax.numpy.asarray(planes[0][0])
+        uj = jax.numpy.asarray(planes[0][1])
+        vj = jax.numpy.asarray(planes[0][2])
+        if target_quality > 0:
+            q, score = cq_search(yj, uj, vj, target_quality, metric=metric)
+        else:
+            q = qindex
+            score = float(probe_quality(yj, uj, vj, jax.numpy.int32(q),
+                                        metric=metric))
+        q_used.append(q)
+        scores.append(score)
+        psnrs.append(float(probe_quality(yj, uj, vj, jax.numpy.int32(q),
+                                         metric="psnr")))
+
         bufs = np.asarray(
-            encode_intra_v_chunk(jax.device_put(fused), qindex, ch, cw))
+            encode_intra_v_chunk(jax.device_put(fused), q, ch, cw))
         for i in range(k):
             count, bm, vals = split_compact(bufs[i], ch, cw)
             if count > len(vals):
                 raise RuntimeError("compact capacity exceeded; raise cap")
-            tile = packer.pack_tile_compact(bm, vals, ch, cw, qindex)
-            streams.append(_wrap_tu(tile, cw, ch, width, height, qindex))
+            tile = packer.pack_tile_compact(bm, vals, ch, cw, q)
+            streams.append(_wrap_tu(tile, cw, ch, width, height, q))
         if progress:
             progress(base + k, n)
 
@@ -89,7 +111,10 @@ def encode_clip(clip, qindex: int, chunk: int = 4,
         "encode_fps": round(n / dt, 3) if dt > 0 else 0.0,
         "width": width,
         "height": height,
-        "qindex": qindex,
+        "qindex": round(sum(q_used) / len(q_used), 1),
+        "psnr_y": round(sum(psnrs) / len(psnrs), 3),
+        metric if metric != "psnr" else "metric_score":
+            round(sum(scores) / len(scores), 3),
     }
     return streams, stats
 
@@ -143,7 +168,9 @@ def cmd_encode(args) -> int:
             clip.y = clip.y[: args.max_frames]
             clip.u = clip.u[: args.max_frames]
             clip.v = clip.v[: args.max_frames]
-        streams, stats = encode_clip(clip, args.qindex, chunk=args.chunk)
+        streams, stats = encode_clip(clip, args.qindex, chunk=args.chunk,
+                                     target_quality=args.target_quality,
+                                     metric=args.metric)
         write_ivf(args.output, streams, clip.width, clip.height)
     stats["output"] = args.output
     print(json.dumps(stats))
@@ -163,6 +190,11 @@ def main(argv=None) -> int:
                      help="frames per TPU round-trip")
     enc.add_argument("--temp", default=None, help="temp directory")
     enc.add_argument("--max-frames", type=int, default=0)
+    enc.add_argument("--target-quality", type=float, default=0.0,
+                     help="per-chunk CQ search: pick qindex hitting this "
+                          "score on --metric (0 = fixed --qindex)")
+    enc.add_argument("--metric", choices=("vmaf", "ssim", "psnr"),
+                     default="vmaf")
     enc.set_defaults(fn=cmd_encode)
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,53 @@
+"""Target-quality (CQ) search: pick the qindex whose encode hits a quality
+target, per chunk.
+
+Plays the role of av1an's --target-quality VMAF probe loop in the reference
+pipeline (SURVEY §7 step 7 / BASELINE config #3), natively on TPU: because
+qindex is a traced argument of the encoder, every probe reuses ONE compiled
+executable; a probe is a single device round-trip (encode + metric, no level
+fetch).  Quality is monotone non-increasing in qindex, so bisection over the
+integer qindex range converges in ~8 probes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from av1tpu.metrics.quality import psnr, ssim, tpu_vmaf
+from av1tpu.models.intra_v import encode_intra_v
+
+METRICS = {"psnr": psnr, "ssim": ssim, "vmaf": tpu_vmaf}
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def probe_quality(y, u, v, qindex, metric: str = "vmaf"):
+    """Encode at qindex and score the luma recon against the source.
+    Runs entirely on device; returns a scalar."""
+    out = encode_intra_v(y, u, v, qindex)
+    return METRICS[metric](y, out["recon_y"])
+
+
+def cq_search(y, u, v, target: float, metric: str = "vmaf",
+              qmin: int = 8, qmax: int = 255, log=None) -> tuple[int, float]:
+    """Smallest-bitrate (largest) qindex whose score >= target; if even qmin
+    misses the target, returns qmin.  Returns (qindex, achieved_score)."""
+    lo, hi = qmin, qmax  # score(lo) is the best achievable
+    best_q, best_score = qmin, None
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        score = float(probe_quality(y, u, v, jnp.int32(mid), metric=metric))
+        if log:
+            log(f"cq probe q={mid} {metric}={score:.3f}")
+        if score >= target:
+            best_q, best_score = mid, score
+            lo = mid + 1   # try coarser quantization
+        else:
+            hi = mid - 1
+    if best_score is None:
+        best_score = float(
+            probe_quality(y, u, v, jnp.int32(qmin), metric=metric))
+        best_q = qmin
+    return best_q, best_score

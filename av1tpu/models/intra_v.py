@@ -20,30 +20,45 @@ is covered by tests/test_tpu_pipeline.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from av1tpu.kernels.transform_quant import transform_quantize
 from av1tpu.ops.transforms_jax import forward_matrix, inverse_transform
 from av1tpu.spec import tables
 
+# Fused Pallas transform+quant kernel (AV1TPU_PALLAS=1 to enable).  Off by
+# default: called inside the per-row lax.scan it launches once per block row
+# and re-stages the transform matrix into VMEM each step, measured slower
+# than the XLA-fused expression (123 vs 94 ms/frame e2e on v5e).  The win
+# needs a whole-plane kernel that keeps the matrix and row state resident
+# across the scan — tracked for the kernelization pass.
+_USE_PALLAS = os.environ.get("AV1TPU_PALLAS", "0") != "0"
 
-def _quant_step(qindex: int, plane: int, bit_depth: int = 8):
-    dc = tables.dc_q(qindex, bit_depth)
-    ac = tables.ac_q(qindex, bit_depth)
-    return dc, ac
+
+@functools.cache
+def _quant_tables():
+    # cache numpy (jnp constants created inside a trace must not be cached —
+    # they are tracers there)
+    q = tables.quant()
+    return (np.asarray(q["dc_q_8"], np.int32),
+            np.asarray(q["ac_q_8"], np.int32))
 
 
-def _plane_params(qindex: int, n: int):
-    dc, ac = tables.dc_q(qindex), tables.ac_q(qindex)
-    step = np.full((n, n), ac, np.float32)
-    step[0, 0] = dc
-    q = np.full((n, n), ac, np.int32)
-    q[0, 0] = dc
+def _plane_params(qindex, n: int):
+    """Quantizer rows for a traced qindex: step (f32), q (i32), cap (i32),
+    each (n*n,).  Traced lookup keeps one compiled encoder for every q —
+    what makes per-chunk CQ search cheap."""
+    dcq_np, acq_np = _quant_tables()
+    dc = jnp.asarray(dcq_np)[qindex]
+    ac = jnp.asarray(acq_np)[qindex]
+    q = jnp.full((n * n,), ac, jnp.int32).at[0].set(dc)
     # cap levels so dequantized values stay well inside int32 headroom
-    cap = np.minimum((1 << 16) // q, 1 << 14).astype(np.int32)
-    return step, q, cap
+    cap = jnp.minimum((1 << 16) // q, 1 << 14)
+    return q.astype(jnp.float32), q, cap
 
 
 def _encode_plane(src, qindex: int, n: int, base: int, tx_type: int = 0):
@@ -53,10 +68,7 @@ def _encode_plane(src, qindex: int, n: int, base: int, tx_type: int = 0):
     h, w = src.shape
     rows, cols = h // n, w // n
     fwd = jnp.asarray(forward_matrix(n, n, tx_type))  # (n*n, n*n)
-    step_np, q_np, cap_np = _plane_params(qindex, n)
-    step = jnp.asarray(step_np.reshape(-1))
-    q = jnp.asarray(q_np.reshape(-1))
-    cap = jnp.asarray(cap_np.reshape(-1))
+    step, q, cap = _plane_params(qindex, n)
 
     src_rows = src.reshape(rows, n, cols, n).transpose(0, 2, 1, 3)
 
@@ -64,9 +76,15 @@ def _encode_plane(src, qindex: int, n: int, base: int, tx_type: int = 0):
         """blocks, pred: (B, n, n) -> (levels, recon)."""
         b = blocks.shape[0]
         resid = (blocks - pred).reshape(b, n * n).astype(jnp.float32)
-        coefs = resid @ fwd.T
-        lv = jnp.clip(jnp.round(coefs / step).astype(jnp.int32), -cap, cap)
-        dq = lv * q
+        if _USE_PALLAS:
+            lv16, dq = transform_quantize(resid, fwd.T, step[None, :],
+                                          q[None, :], cap[None, :])
+            lv = lv16.astype(jnp.int32)
+        else:
+            coefs = resid @ fwd.T
+            lv = jnp.clip(jnp.round(coefs / step).astype(jnp.int32),
+                          -cap, cap)
+            dq = lv * q
         r = inverse_transform(dq.reshape(b, n, n), n, n, tx_type)
         rec = jnp.clip(pred + r, 0, 255)
         # int16 keeps the host fetch small (levels are capped at 2^14)
@@ -100,7 +118,7 @@ def _encode_plane(src, qindex: int, n: int, base: int, tx_type: int = 0):
     return levels, recon
 
 
-@functools.partial(jax.jit, static_argnames=("qindex", "height", "width"))
+@functools.partial(jax.jit, static_argnames=("height", "width"))
 def encode_intra_v_u8(frame_u8, qindex: int, height: int, width: int):
     """I/O-optimized end-to-end variant for the production path: source is ONE
     fused uint8 buffer (y | u | v concatenated flat, padded luma dims
@@ -118,7 +136,7 @@ def encode_intra_v_u8(frame_u8, qindex: int, height: int, width: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("qindex", "height", "width", "cap"))
+                   static_argnames=("height", "width", "cap"))
 def encode_intra_v_compact(frame_u8, qindex: int, height: int, width: int,
                            cap: int = 163840):
     """Bandwidth-optimal variant: returns ONE int16 buffer holding
@@ -142,7 +160,7 @@ def encode_intra_v_compact(frame_u8, qindex: int, height: int, width: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("qindex", "height", "width", "cap"))
+                   static_argnames=("height", "width", "cap"))
 def encode_intra_v_chunk(frames_u8, qindex: int, height: int, width: int,
                          cap: int = 163840):
     """Chunked production variant: frames_u8 is (K, n_pixels) fused uint8
@@ -171,7 +189,7 @@ def fuse_planes(y, u, v) -> np.ndarray:
                            np.asarray(v, np.uint8).ravel()])
 
 
-@functools.partial(jax.jit, static_argnames=("qindex",))
+@jax.jit
 def encode_intra_v_levels(y, u, v, qindex: int):
     """Transfer-optimized variant: returns the three level grids fused into
     ONE flat int16 buffer (host slices it apart).  A single dense buffer
@@ -194,7 +212,7 @@ def split_levels(flat, height: int, width: int):
     return ly, lu, lv
 
 
-@functools.partial(jax.jit, static_argnames=("qindex",))
+@jax.jit
 def encode_intra_v(y, u, v, qindex: int):
     """Full-frame intra V_PRED encode.  y: (H, W) int32 (16-aligned),
     u/v: (H/2, W/2) int32 (8-aligned).  Returns dict of level grids and

@@ -1,7 +1,10 @@
 #include "encoder.h"
 
 #include <algorithm>
+#include <cstdio>
 #include <cstdlib>
+
+#include "json.h"
 
 namespace av1d {
 
@@ -52,19 +55,38 @@ bool command_has_hardware_flags(const std::string &cmd, std::string *flag) {
 
 EncodeResult run_encode(const std::string &cmd) {
   EncodeResult r;
-  int rc = system(cmd.c_str());
-  if (rc < 0) {
+  FILE *p = popen(cmd.c_str(), "r");
+  if (!p) {
     r.error = "failed to spawn encoder";
     return r;
   }
-  r.exit_code = rc >> 8;
-  if (rc & 0x7F) {  // killed by signal
-    r.error = "encoder terminated by signal " + std::to_string(rc & 0x7F);
+  std::string out;
+  char buf[4096];
+  size_t n;
+  while ((n = fread(buf, 1, sizeof buf, p)) > 0) out.append(buf, n);
+  int rc = pclose(p);
+  r.exit_code = rc >= 0 ? (rc >> 8) : -1;
+  if (rc < 0 || (rc & 0x7F)) {
+    r.error = "encoder terminated abnormally";
     return r;
   }
   if (r.exit_code != 0) {
     r.error = "encoder exited with status " + std::to_string(r.exit_code);
     return r;
+  }
+  // last nonempty line should be the JSON stats record
+  size_t end = out.find_last_not_of("\r\n ");
+  if (end != std::string::npos) {
+    size_t start = out.find_last_of('\n', end);
+    start = start == std::string::npos ? 0 : start + 1;
+    bool ok = false;
+    JsonPtr j = Json::parse(out.substr(start, end - start + 1), &ok);
+    if (ok && j && j->type == Json::OBJ) {
+      if (auto v = j->get("psnr_y")) r.psnr_y = v->as_num();
+      if (auto v = j->get("vmaf")) r.vmaf = v->as_num();
+      if (auto v = j->get("encode_fps")) r.encode_fps = v->as_num();
+      if (auto v = j->get("frames")) r.frames = (int64_t)v->as_num();
+    }
   }
   r.ok = true;
   return r;

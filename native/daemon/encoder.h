@@ -37,9 +37,15 @@ struct EncodeResult {
   bool ok = false;
   int exit_code = -1;
   std::string error;
+  // parsed from the encoder's final JSON stats line (0/absent = unknown)
+  double psnr_y = 0;
+  double vmaf = 0;
+  double encode_fps = 0;
+  int64_t frames = 0;
 };
 
-// run via /bin/sh -c, blocking
+// run via popen, blocking; captures stdout and parses the trailing JSON
+// stats line the av1tpu CLI prints
 EncodeResult run_encode(const std::string &cmd);
 
 }  // namespace av1d

@@ -151,6 +151,8 @@ void JobExecutor::execute(Job job) {
     fs::remove_all(chunks, ec);
     return;
   }
+  job.psnr_y = er.psnr_y;  // quality stats from the encoder's JSON line
+  job.vmaf = er.vmaf;
 
   // ---- validate ----
   transition(JobStage::Validating, JobStatus::Running);

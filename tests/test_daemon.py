@@ -53,6 +53,8 @@ def fixtures(tmp_path_factory):
 
 
 def _write_config(tmp_path, library, fixtures, extra=""):
+    stats = tmp_path / "stats.json"
+    stats.write_text('{"psnr_y": 41.5, "vmaf": 93.2, "frames": 12}\n')
     cfg = tmp_path / "config.toml"
     cfg.write_text(f"""
 [cpu]
@@ -71,7 +73,7 @@ temp_output_dir = "{tmp_path}/temp"
 min_bytes = 1
 
 [tpu]
-encode_cmd = "cp {fixtures['ivf']} {{output}}"
+encode_cmd = "sh -c 'cp {fixtures['ivf']} {{output}}; cat {stats}'"
 {extra}
 """)
     return str(cfg)
@@ -111,6 +113,10 @@ def test_full_pipeline_replaces_original(tmp_path, fixtures):
     assert j["source_type"] == "web-like"
     assert j["probe"]["video_streams"][0]["codec"] == "mpeg4"
     assert j["output_bytes"] == os.path.getsize(fixtures["ivf"])
+    # quality stats parsed from the encoder's JSON line (the reference left
+    # these fields forever empty)
+    assert j["psnr_y"] == 41.5
+    assert j["vmaf"] == 93.2
 
     # second cycle: nothing to do (file is now .ivf -> gated as already AV1)
     r2 = _run_once(cfg)

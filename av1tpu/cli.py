@@ -56,6 +56,7 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
     )
 
     width, height = clip.width, clip.height
+    bd = clip.bit_depth
     cw = (width + 63) & ~63
     ch = (height + 63) & ~63
     packer = Packer()
@@ -73,7 +74,7 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
              _pad_plane(clip.u[base + i].astype(np.int32), ch // 2, cw // 2),
              _pad_plane(clip.v[base + i].astype(np.int32), ch // 2, cw // 2))
             for i in range(k)]
-        fused = np.stack([fuse_planes(*p) for p in planes])
+        fused = np.stack([fuse_planes(*p, bit_depth=bd) for p in planes])
         if k < chunk:  # keep one compiled shape
             fused = np.concatenate(
                 [fused, np.repeat(fused[-1:], chunk - k, axis=0)])
@@ -82,15 +83,16 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
         uj = jax.numpy.asarray(planes[0][1])
         vj = jax.numpy.asarray(planes[0][2])
         if target_quality > 0:
-            q, score = cq_search(yj, uj, vj, target_quality, metric=metric)
+            q, score = cq_search(yj, uj, vj, target_quality, metric=metric,
+                                 bit_depth=bd)
         else:
             q = qindex
             score = float(probe_quality(yj, uj, vj, jax.numpy.int32(q),
-                                        metric=metric))
+                                        metric=metric, bit_depth=bd))
         q_used.append(q)
         scores.append(score)
         psnrs.append(float(probe_quality(yj, uj, vj, jax.numpy.int32(q),
-                                         metric="psnr")))
+                                         metric="psnr", bit_depth=bd)))
 
         bufs = np.asarray(
             encode_intra_v_chunk(jax.device_put(fused), q, ch, cw))
@@ -99,7 +101,7 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             if count > len(vals):
                 raise RuntimeError("compact capacity exceeded; raise cap")
             tile = packer.pack_tile_compact(bm, vals, ch, cw, q)
-            streams.append(_wrap_tu(tile, cw, ch, width, height, q))
+            streams.append(_wrap_tu(tile, cw, ch, width, height, q, bd))
         if progress:
             progress(base + k, n)
 
@@ -120,7 +122,7 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
 
 
 def _wrap_tu(tile: bytes, coded_w: int, coded_h: int, render_w: int,
-             render_h: int, qindex: int) -> bytes:
+             render_h: int, qindex: int, bit_depth: int = 8) -> bytes:
     from av1tpu.spec.bits import BitWriter
     from av1tpu.spec.encode_frame import (
         EncoderConfig, make_frame_header, make_sequence_header,
@@ -132,7 +134,7 @@ def _wrap_tu(tile: bytes, coded_w: int, coded_h: int, render_w: int,
         OBU_FRAME, OBU_SEQUENCE_HEADER, build_obu, temporal_delimiter,
     )
 
-    cfg = EncoderConfig(base_q_idx=qindex)
+    cfg = EncoderConfig(base_q_idx=qindex, bit_depth=bit_depth)
     seq = make_sequence_header(coded_w, coded_h, cfg)
     fh = make_frame_header(seq, cfg)
     fh.render_width, fh.render_height = render_w, render_h

@@ -40,35 +40,39 @@ _USE_PALLAS = os.environ.get("AV1TPU_PALLAS", "0") != "0"
 
 
 @functools.cache
-def _quant_tables():
+def _quant_tables(bit_depth: int = 8):
     # cache numpy (jnp constants created inside a trace must not be cached —
     # they are tracers there)
     q = tables.quant()
-    return (np.asarray(q["dc_q_8"], np.int32),
-            np.asarray(q["ac_q_8"], np.int32))
+    return (np.asarray(q[f"dc_q_{bit_depth}"], np.int32),
+            np.asarray(q[f"ac_q_{bit_depth}"], np.int32))
 
 
-def _plane_params(qindex, n: int):
+def _plane_params(qindex, n: int, bit_depth: int = 8):
     """Quantizer rows for a traced qindex: step (f32), q (i32), cap (i32),
     each (n*n,).  Traced lookup keeps one compiled encoder for every q —
     what makes per-chunk CQ search cheap."""
-    dcq_np, acq_np = _quant_tables()
+    dcq_np, acq_np = _quant_tables(bit_depth)
     dc = jnp.asarray(dcq_np)[qindex]
     ac = jnp.asarray(acq_np)[qindex]
     q = jnp.full((n * n,), ac, jnp.int32).at[0].set(dc)
-    # cap levels so dequantized values stay well inside int32 headroom
+    # cap levels so dequantized values stay well inside int32 headroom AND
+    # below the decoder's inter-stage clamp (+-2^(bd+7)), so the normative
+    # clamps never activate and recon stays exact at both depths
     cap = jnp.minimum((1 << 16) // q, 1 << 14)
     return q.astype(jnp.float32), q, cap
 
 
-def _encode_plane(src, qindex: int, n: int, base: int, tx_type: int = 0):
+def _encode_plane(src, qindex: int, n: int, base: int, tx_type: int = 0,
+                  bit_depth: int = 8):
     """Encode one plane with n x n blocks, V_PRED.  src: (H, W) int32 with
     H, W multiples of n.  Returns (levels (rows, cols, n, n) int32,
     recon (H, W) int32)."""
     h, w = src.shape
     rows, cols = h // n, w // n
+    pix_max = (1 << bit_depth) - 1
     fwd = jnp.asarray(forward_matrix(n, n, tx_type))  # (n*n, n*n)
-    step, q, cap = _plane_params(qindex, n)
+    step, q, cap = _plane_params(qindex, n, bit_depth)
 
     src_rows = src.reshape(rows, n, cols, n).transpose(0, 2, 1, 3)
 
@@ -86,7 +90,7 @@ def _encode_plane(src, qindex: int, n: int, base: int, tx_type: int = 0):
                           -cap, cap)
             dq = lv * q
         r = inverse_transform(dq.reshape(b, n, n), n, n, tx_type)
-        rec = jnp.clip(pred + r, 0, 255)
+        rec = jnp.clip(pred + r, 0, pix_max)
         # int16 keeps the host fetch small (levels are capped at 2^14)
         return lv.reshape(b, n, n).astype(jnp.int16), rec
 
@@ -121,15 +125,17 @@ def _encode_plane(src, qindex: int, n: int, base: int, tx_type: int = 0):
 @functools.partial(jax.jit, static_argnames=("height", "width"))
 def encode_intra_v_u8(frame_u8, qindex: int, height: int, width: int):
     """I/O-optimized end-to-end variant for the production path: source is ONE
-    fused uint8 buffer (y | u | v concatenated flat, padded luma dims
-    height x width) and the result is ONE fused int16 level buffer — single
-    dense transfers in each direction run at full host-link bandwidth."""
+    fused buffer (y | u | v concatenated flat, padded luma dims height x
+    width) and the result is ONE fused int16 level buffer — single dense
+    transfers in each direction run at full host-link bandwidth.  The buffer
+    dtype selects the depth: uint8 -> 8-bit, uint16 -> 10-bit."""
+    bit_depth = 8 if frame_u8.dtype == jnp.uint8 else 10
     ny = height * width
     nc = ny // 4
     y = frame_u8[:ny].reshape(height, width).astype(jnp.int32)
     u = frame_u8[ny : ny + nc].reshape(height // 2, width // 2).astype(jnp.int32)
     v = frame_u8[ny + nc :].reshape(height // 2, width // 2).astype(jnp.int32)
-    o = encode_intra_v(y, u, v, qindex)
+    o = encode_intra_v(y, u, v, qindex, bit_depth=bit_depth)
     return jnp.concatenate([o["levels_y"].reshape(-1),
                             o["levels_u"].reshape(-1),
                             o["levels_v"].reshape(-1)])
@@ -181,12 +187,13 @@ def split_compact(buf: np.ndarray, height: int, width: int):
     return count, bitmap, vals
 
 
-def fuse_planes(y, u, v) -> np.ndarray:
-    """Concatenate padded planes into the uint8 buffer encode_intra_v_u8
-    expects."""
-    return np.concatenate([np.asarray(y, np.uint8).ravel(),
-                           np.asarray(u, np.uint8).ravel(),
-                           np.asarray(v, np.uint8).ravel()])
+def fuse_planes(y, u, v, bit_depth: int = 8) -> np.ndarray:
+    """Concatenate padded planes into the fused source buffer
+    encode_intra_v_u8 expects (uint8 for 8-bit, uint16 for 10-bit)."""
+    dt = np.uint8 if bit_depth == 8 else np.uint16
+    return np.concatenate([np.asarray(y, dt).ravel(),
+                           np.asarray(u, dt).ravel(),
+                           np.asarray(v, dt).ravel()])
 
 
 @jax.jit
@@ -212,15 +219,19 @@ def split_levels(flat, height: int, width: int):
     return ly, lu, lv
 
 
-@jax.jit
-def encode_intra_v(y, u, v, qindex: int):
+@functools.partial(jax.jit, static_argnames=("bit_depth",))
+def encode_intra_v(y, u, v, qindex: int, bit_depth: int = 8):
     """Full-frame intra V_PRED encode.  y: (H, W) int32 (16-aligned),
     u/v: (H/2, W/2) int32 (8-aligned).  Returns dict of level grids and
-    reconstructions."""
+    reconstructions.  bit_depth 8 or 10."""
     # luma signals DCT_DCT; chroma tx type is derived from the uv mode
     # (V_PRED -> ADST_DCT, spec Mode_To_Txfm)
-    ly, ry = _encode_plane(y, qindex, 16, 128, tx_type=0)
-    lu, ru = _encode_plane(u, qindex, 8, 128, tx_type=1)
-    lv, rv = _encode_plane(v, qindex, 8, 128, tx_type=1)
+    base = 1 << (bit_depth - 1)
+    ly, ry = _encode_plane(y, qindex, 16, base, tx_type=0,
+                           bit_depth=bit_depth)
+    lu, ru = _encode_plane(u, qindex, 8, base, tx_type=1,
+                           bit_depth=bit_depth)
+    lv, rv = _encode_plane(v, qindex, 8, base, tx_type=1,
+                           bit_depth=bit_depth)
     return {"levels_y": ly, "levels_u": lu, "levels_v": lv,
             "recon_y": ry, "recon_u": ru, "recon_v": rv}

@@ -97,10 +97,10 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
         bufs = np.asarray(
             encode_intra_v_chunk(jax.device_put(fused), q, ch, cw))
         for i in range(k):
-            count, bm, vals = split_compact(bufs[i], ch, cw)
+            count, bm, vals, modes = split_compact(bufs[i], ch, cw)
             if count > len(vals):
                 raise RuntimeError("compact capacity exceeded; raise cap")
-            tile = packer.pack_tile_compact(bm, vals, ch, cw, q)
+            tile = packer.pack_tile_compact(bm, vals, ch, cw, q, modes=modes)
             streams.append(_wrap_tu(tile, cw, ch, width, height, q, bd))
         if progress:
             progress(base + k, n)

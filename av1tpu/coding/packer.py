@@ -33,6 +33,7 @@ class Packer:
         f2.restype = ctypes.c_size_t
         f2.argtypes = [ctypes.POINTER(ctypes.c_uint16),
                        ctypes.POINTER(ctypes.c_int16),
+                       ctypes.POINTER(ctypes.c_int16),
                        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                        ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t]
         self._fn2 = f2
@@ -61,17 +62,25 @@ class Packer:
 
     def pack_tile_compact(self, bitmap: np.ndarray, vals: np.ndarray,
                           height: int, width: int, qindex: int,
-                          disable_cdf_update: bool = False) -> bytes:
+                          disable_cdf_update: bool = False,
+                          modes: np.ndarray | None = None) -> bytes:
         """Pack from the compact form produced by encode_intra_v_compact:
-        significance bitmap (uint16 words) + nonzero values (int16).
+        significance bitmap (uint16 words) + nonzero values (int16) +
+        optional per-block luma modes (None = all V_PRED).
         height/width: padded luma dims (multiples of 64)."""
         bm = np.ascontiguousarray(bitmap, np.uint16)
         vv = np.ascontiguousarray(vals, np.int16)
+        if modes is not None:
+            mm = np.ascontiguousarray(modes, np.int16)
+            mptr = mm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+        else:
+            mptr = ctypes.POINTER(ctypes.c_int16)()
         mi_rows, mi_cols = height // 4, width // 4
         cap = height * width * 2 + 65536
         out = (ctypes.c_uint8 * cap)()
         n = self._fn2(bm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
                       vv.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                      mptr,
                       mi_rows, mi_cols, qindex, int(disable_cdf_update),
                       out, cap)
         if n == 0:

@@ -63,6 +63,50 @@ def _plane_params(qindex, n: int, bit_depth: int = 8):
     return q.astype(jnp.float32), q, cap
 
 
+# above-right availability for 16x16 blocks in 64x64 superblocks, derived
+# from the spec's BlockDecoded model (5.11.3: the row above the SB is fully
+# decoded; inside the SB, Z-order decides).  Rows indexed by block row % 4,
+# cols by block col % 4; the frame's last block column is never available.
+_UR_MASK = np.array([[1, 1, 1, 1],
+                     [1, 0, 1, 0],
+                     [1, 1, 1, 0],
+                     [1, 0, 1, 0]], np.bool_)
+
+# (mode value, Dr_Intra_Derivative dx) for the above-only directional modes
+_RDO_MODES = ((3, 64), (8, 27))  # D45, D67; V handled separately
+
+
+def _avail_ur_grid(rows: int, cols: int) -> np.ndarray:
+    g = np.zeros((rows, cols), np.bool_)
+    for r in range(1, rows):
+        g[r] = _UR_MASK[r % 4][np.arange(cols) % 4]
+    g[:, cols - 1] = False
+    return g
+
+
+def _directional_pred(ae, dx: int, n: int):
+    """ae: (cols, 2n) above edge (with above-right) -> (cols, n, n) pred.
+    Spec 7.11.2.4 for pAngle < 90, upsample/edge-filter off."""
+    i = np.arange(1, n + 1, dtype=np.int64)[:, None]
+    j = np.arange(n, dtype=np.int64)[None, :]
+    idx = i * dx
+    pos = np.minimum((idx >> 6) + j, 2 * n - 1)
+    shift = ((idx >> 1) & 0x1F).astype(np.int32)
+    hit_max = ((idx >> 6) + j) >= (2 * n - 1)
+    gathered = jnp.take(ae, jnp.asarray(pos.ravel()), axis=1)
+    gathered1 = jnp.take(ae, jnp.asarray(np.minimum(pos + 1,
+                                                    2 * n - 1).ravel()),
+                         axis=1)
+    p = _rs_pred(gathered.reshape(-1, n, n) * (32 - shift)
+                 + gathered1.reshape(-1, n, n) * shift)
+    last = ae[:, 2 * n - 1][:, None, None]
+    return jnp.where(jnp.asarray(hit_max)[None], last, p)
+
+
+def _rs_pred(x):
+    return (x + 16) >> 5
+
+
 def _encode_plane(src, qindex: int, n: int, base: int, tx_type: int = 0,
                   bit_depth: int = 8):
     """Encode one plane with n x n blocks, V_PRED.  src: (H, W) int32 with
@@ -122,35 +166,146 @@ def _encode_plane(src, qindex: int, n: int, base: int, tx_type: int = 0,
     return levels, recon
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width"))
-def encode_intra_v_u8(frame_u8, qindex: int, height: int, width: int):
+def _encode_plane_rdo(src, qindex, n: int, base: int, bit_depth: int = 8):
+    """Luma encode with per-block intra mode RDO over the above-only mode set
+    {V_PRED, D45, D67} — modes whose prediction needs only the reconstructed
+    row above (+ its above-right extension per the spec availability rules),
+    so the row-parallel scan shape is preserved.  Returns (levels, recon,
+    modes) with modes (rows, cols) int8 holding AV1 mode values."""
+    h, w = src.shape
+    rows, cols = h // n, w // n
+    pix_max = (1 << bit_depth) - 1
+    fwd = jnp.asarray(forward_matrix(n, n, 0))
+    step, q, cap = _plane_params(qindex, n, bit_depth)
+    # true RD cost evaluated in the coefficient domain (Parseval: coef-SSE ~
+    # 6.4x pixel-SSE for this transform scaling, measured), so mode selection
+    # needs no inverse transform per candidate: cost = D_coef + lambda * R.
+    # lambda ~ Qstep^2 as in classic RDO, calibrated on the BD-rate clip
+    # (swept on the BD-rate clip; 0.3 minimizes BD-rate).
+    ac = step[1]
+    lam = (ac * ac * 0.3).astype(jnp.float32)
+
+    src_rows = src.reshape(rows, n, cols, n).transpose(0, 2, 1, 3)
+    avail = jnp.asarray(_avail_ur_grid(rows, cols))
+
+    def tq_recon(blocks, pred):
+        b = blocks.shape[0]
+        resid = (blocks - pred).reshape(b, n * n).astype(jnp.float32)
+        coefs = resid @ fwd.T
+        lv = jnp.clip(jnp.round(coefs / step).astype(jnp.int32), -cap, cap)
+        dq = lv * q
+        r = inverse_transform(dq.reshape(b, n, n), n, n, 0)
+        rec = jnp.clip(pred + r, 0, pix_max)
+        return lv.reshape(b, n, n).astype(jnp.int16), rec
+
+    # first block row: V_PRED via the per-column scan (no above row)
+    def col_step(edge_val, block):
+        pred = jnp.full((n, n), edge_val, jnp.int32)
+        lv, rec = tq_recon(block[None], pred[None])
+        return rec[0, 0, n - 1], (lv[0], rec[0])
+
+    _, (lv0, rec0) = jax.lax.scan(col_step, jnp.int32(base - 1), src_rows[0])
+    modes0 = jnp.full((cols,), 1, jnp.int8)
+
+    def row_step(bottom, xs):
+        blocks, av = xs
+        # above edge with above-right extension: (cols, 2n) strided windows
+        padded = jnp.concatenate([bottom, bottom[-1:].repeat(n)])
+        win_idx = jnp.asarray(np.arange(cols)[:, None] * n
+                              + np.arange(2 * n)[None, :])
+        ae = jnp.take(padded, win_idx)
+        # unavailable above-right -> replicate above[n-1]
+        repl = ae[:, n - 1][:, None]
+        k = jnp.arange(2 * n)[None, :]
+        ae = jnp.where((k < n) | av[:, None], ae, repl)
+
+        pred_v = jnp.repeat(ae[:, None, :n], n, axis=1)
+        cands = [(1, pred_v)]
+        for mode_val, dx in _RDO_MODES:
+            cands.append((mode_val, _directional_pred(ae, dx, n)))
+        nm = len(cands)
+        preds = jnp.concatenate([p for _, p in cands], axis=0)  # (nm*cols,..)
+        blocks_r = jnp.tile(blocks, (nm, 1, 1))
+        # forward + quantize for every candidate; distortion measured in the
+        # coefficient domain so no per-candidate inverse transform is needed
+        resid = (blocks_r - preds).reshape(nm * cols, n * n).astype(
+            jnp.float32)
+        coefs = resid @ fwd.T
+        lv_all = jnp.clip(jnp.round(coefs / step).astype(jnp.int32),
+                          -cap, cap)
+        dist = jnp.sum((coefs - lv_all * step) ** 2, axis=1).reshape(nm, -1)
+        alv = jnp.abs(lv_all.astype(jnp.float32))
+        rate = jnp.sum(jnp.where(alv > 0, 2.0, 0.0)
+                       + jnp.log2(1.0 + alv), axis=1).reshape(nm, -1)
+        # + a few bits of mode signaling for the non-default modes
+        rate = rate + jnp.array([0.0] + [4.0] * (nm - 1),
+                                jnp.float32)[:, None]
+        cost = dist + lam * rate                            # (nm, cols)
+        choice = jnp.argmin(cost, axis=0)                   # (cols,)
+        # reconstruct only the winning mode
+        lv_all = lv_all.reshape(nm, cols, n, n)
+        preds = preds.reshape(nm, cols, n, n)
+        lv = jnp.take_along_axis(lv_all, choice[None, :, None, None],
+                                 axis=0)[0]
+        pred = jnp.take_along_axis(preds, choice[None, :, None, None],
+                                   axis=0)[0]
+        r = inverse_transform(lv * q.reshape(n, n), n, n, 0)
+        rec = jnp.clip(pred + r, 0, pix_max)
+        mode_vals = jnp.asarray([m for m, _ in cands], jnp.int8)
+        modes = mode_vals[choice]
+        return rec[:, n - 1, :].reshape(-1), (lv.astype(jnp.int16), rec,
+                                              modes)
+
+    if rows > 1:
+        bottom0 = rec0[:, n - 1, :].reshape(-1)
+        _, (lv_rest, rec_rest, modes_rest) = jax.lax.scan(
+            row_step, bottom0, (src_rows[1:], avail[1:]))
+        levels = jnp.concatenate([lv0[None], lv_rest], axis=0)
+        recs = jnp.concatenate([rec0[None], rec_rest], axis=0)
+        modes = jnp.concatenate([modes0[None], modes_rest], axis=0)
+    else:
+        levels, recs, modes = lv0[None], rec0[None], modes0[None]
+
+    recon = recs.transpose(0, 2, 1, 3).reshape(h, w)
+    return levels, recon, modes
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "rdo"))
+def encode_intra_v_u8(frame_u8, qindex: int, height: int, width: int,
+                      rdo: bool = True):
     """I/O-optimized end-to-end variant for the production path: source is ONE
     fused buffer (y | u | v concatenated flat, padded luma dims height x
-    width) and the result is ONE fused int16 level buffer — single dense
-    transfers in each direction run at full host-link bandwidth.  The buffer
-    dtype selects the depth: uint8 -> 8-bit, uint16 -> 10-bit."""
+    width) and the result is ONE fused int16 buffer [levels | modes] —
+    single dense transfers in each direction run at full host-link
+    bandwidth.  The buffer dtype selects the depth: uint8 -> 8-bit,
+    uint16 -> 10-bit."""
     bit_depth = 8 if frame_u8.dtype == jnp.uint8 else 10
     ny = height * width
     nc = ny // 4
     y = frame_u8[:ny].reshape(height, width).astype(jnp.int32)
     u = frame_u8[ny : ny + nc].reshape(height // 2, width // 2).astype(jnp.int32)
     v = frame_u8[ny + nc :].reshape(height // 2, width // 2).astype(jnp.int32)
-    o = encode_intra_v(y, u, v, qindex, bit_depth=bit_depth)
+    o = encode_intra_v(y, u, v, qindex, bit_depth=bit_depth, rdo=rdo)
     return jnp.concatenate([o["levels_y"].reshape(-1),
                             o["levels_u"].reshape(-1),
-                            o["levels_v"].reshape(-1)])
+                            o["levels_v"].reshape(-1),
+                            o["modes"].reshape(-1).astype(jnp.int16)])
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("height", "width", "cap"))
+                   static_argnames=("height", "width", "cap", "rdo"))
 def encode_intra_v_compact(frame_u8, qindex: int, height: int, width: int,
-                           cap: int = 163840):
+                           cap: int = 163840, rdo: bool = True):
     """Bandwidth-optimal variant: returns ONE int16 buffer holding
     [count_lo, count_hi, significance bitmap (1 bit/coef, 16 coefs per word,
-    LSB first), nonzero values (cap slots)].  Levels are ~95% zero at normal
-    q, so this cuts the host fetch ~8x vs the dense buffer.  If count > cap
-    the value list is truncated; the host retries with a larger cap."""
-    flat = encode_intra_v_u8(frame_u8, qindex, height, width)
+    LSB first), nonzero values (cap slots), per-block luma modes].  Levels
+    are ~95% zero at normal q, so this cuts the host fetch ~8x vs the dense
+    buffer.  If count > cap the value list is truncated; the host retries
+    with a larger cap."""
+    nblocks = (height // 16) * (width // 16)
+    full = encode_intra_v_u8(frame_u8, qindex, height, width, rdo=rdo)
+    flat = full[:-nblocks]
+    modes = full[-nblocks:]
     sig = flat != 0
     m = sig.shape[0]
     bits = sig.reshape(m // 16, 16).astype(jnp.uint16)
@@ -162,29 +317,31 @@ def encode_intra_v_compact(frame_u8, qindex: int, height: int, width: int,
         jnp.where(sig, pos, cap)].set(flat, mode="drop")
     head = jnp.stack([count & 0x7FFF, count >> 15]).astype(jnp.int16)
     return jnp.concatenate(
-        [head, jax.lax.bitcast_convert_type(bitmap, jnp.int16), vals])
+        [head, jax.lax.bitcast_convert_type(bitmap, jnp.int16), vals, modes])
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("height", "width", "cap"))
+                   static_argnames=("height", "width", "cap", "rdo"))
 def encode_intra_v_chunk(frames_u8, qindex: int, height: int, width: int,
-                         cap: int = 163840):
+                         cap: int = 163840, rdo: bool = True):
     """Chunked production variant: frames_u8 is (K, n_pixels) fused uint8
     sources; returns (K, compact_len) int16.  One upload RPC and one fetch
     RPC per chunk amortize the per-transfer fixed cost of the host link."""
     return jax.vmap(
-        lambda f: encode_intra_v_compact(f, qindex, height, width, cap)
+        lambda f: encode_intra_v_compact(f, qindex, height, width, cap, rdo)
     )(frames_u8)
 
 
 def split_compact(buf: np.ndarray, height: int, width: int):
     """Host-side split of the encode_intra_v_compact buffer.
-    Returns (count, bitmap uint16, values int16)."""
+    Returns (count, bitmap uint16, values int16, modes int16)."""
     count = int(buf[0]) | (int(buf[1]) << 15)
     nwords = (height * width + height * width // 2) // 16
+    nblocks = (height // 16) * (width // 16)
     bitmap = buf[2 : 2 + nwords].view(np.uint16)
-    vals = buf[2 + nwords :]
-    return count, bitmap, vals
+    vals = buf[2 + nwords : len(buf) - nblocks]
+    modes = buf[len(buf) - nblocks :]
+    return count, bitmap, vals, modes
 
 
 def fuse_planes(y, u, v, bit_depth: int = 8) -> np.ndarray:
@@ -215,23 +372,29 @@ def split_levels(flat, height: int, width: int):
     nc = rows * cols * 64
     ly = flat[:ny].reshape(rows, cols, 16, 16)
     lu = flat[ny : ny + nc].reshape(rows, cols, 8, 8)
-    lv = flat[ny + nc :].reshape(rows, cols, 8, 8)
+    lv = flat[ny + nc : ny + 2 * nc].reshape(rows, cols, 8, 8)
     return ly, lu, lv
 
 
-@functools.partial(jax.jit, static_argnames=("bit_depth",))
-def encode_intra_v(y, u, v, qindex: int, bit_depth: int = 8):
-    """Full-frame intra V_PRED encode.  y: (H, W) int32 (16-aligned),
-    u/v: (H/2, W/2) int32 (8-aligned).  Returns dict of level grids and
-    reconstructions.  bit_depth 8 or 10."""
-    # luma signals DCT_DCT; chroma tx type is derived from the uv mode
-    # (V_PRED -> ADST_DCT, spec Mode_To_Txfm)
+@functools.partial(jax.jit, static_argnames=("bit_depth", "rdo"))
+def encode_intra_v(y, u, v, qindex: int, bit_depth: int = 8,
+                   rdo: bool = False):
+    """Full-frame intra encode.  y: (H, W) int32 (16-aligned), u/v: (H/2,
+    W/2) int32 (8-aligned).  Returns dict of level grids, reconstructions
+    and per-block luma modes.  bit_depth 8 or 10.  rdo=True selects the
+    luma mode per block from {V, D45, D67}; otherwise all V_PRED.  Chroma is
+    always V_PRED (tx type derived: ADST_DCT, spec Mode_To_Txfm)."""
     base = 1 << (bit_depth - 1)
-    ly, ry = _encode_plane(y, qindex, 16, base, tx_type=0,
-                           bit_depth=bit_depth)
+    if rdo:
+        ly, ry, modes = _encode_plane_rdo(y, qindex, 16, base,
+                                          bit_depth=bit_depth)
+    else:
+        ly, ry = _encode_plane(y, qindex, 16, base, tx_type=0,
+                               bit_depth=bit_depth)
+        modes = jnp.full((y.shape[0] // 16, y.shape[1] // 16), 1, jnp.int8)
     lu, ru = _encode_plane(u, qindex, 8, base, tx_type=1,
                            bit_depth=bit_depth)
     lv, rv = _encode_plane(v, qindex, 8, base, tx_type=1,
                            bit_depth=bit_depth)
     return {"levels_y": ly, "levels_u": lu, "levels_v": lv,
-            "recon_y": ry, "recon_u": ru, "recon_v": rv}
+            "recon_y": ry, "recon_u": ru, "recon_v": rv, "modes": modes}

@@ -16,9 +16,16 @@ from __future__ import annotations
 import numpy as np
 
 from .enums import (
-    DC_PRED, H_PRED, PAETH_PRED, SMOOTH_H_PRED, SMOOTH_PRED, SMOOTH_V_PRED,
-    V_PRED,
+    D45_PRED, D67_PRED, DC_PRED, H_PRED, PAETH_PRED, SMOOTH_H_PRED,
+    SMOOTH_PRED, SMOOTH_V_PRED, V_PRED,
 )
+
+# Dr_Intra_Derivative at the base angles of the above-only directional modes
+# (angle_delta 0, no edge filter/upsample — our sequence headers disable the
+# intra edge filter).  Values extracted from the system libaom .rodata
+# (uint16[90] at .rodata+309888, cross-checked against prediction behavior
+# via the dav1d/libaom conformance oracle).
+DR_INTRA_DERIVATIVE = {45: 64, 67: 27}
 
 SM_WEIGHTS = {
     4: np.array([255, 149, 85, 64], np.int64),
@@ -42,18 +49,28 @@ def _round2(x, n):
 
 
 def build_edges(recon: np.ndarray, x: int, y: int, w: int, h: int,
-                have_above: bool, have_left: bool, bit_depth: int = 8):
-    """Returns (above_row[w], left_col[h], corner) int64 edge arrays."""
+                have_above: bool, have_left: bool, bit_depth: int = 8,
+                have_above_right: bool = False):
+    """Returns (above_row[w + h], left_col[h], corner) int64 edge arrays.
+    above[w:] holds the above-right extension used by directional modes:
+    real pixels when have_above_right (BlockDecoded at (y4-1, x4+w4), spec
+    5.11.3/7.11.2), otherwise above[w-1] replicated."""
     base = 1 << (bit_depth - 1)
+    alen = w + h
     if have_above:
         avail_w = min(w, recon.shape[1] - x)
-        above = np.empty(w, np.int64)
+        above = np.empty(alen, np.int64)
         above[:avail_w] = recon[y - 1, x : x + avail_w]
         above[avail_w:] = above[avail_w - 1] if avail_w else base - 1
+        if have_above_right and avail_w == w:
+            ur = min(alen - w, recon.shape[1] - x - w)
+            if ur > 0:
+                above[w : w + ur] = recon[y - 1, x + w : x + w + ur]
+                above[w + ur :] = above[w + ur - 1]
     elif have_left:
-        above = np.full(w, int(recon[y, x - 1]), np.int64)
+        above = np.full(alen, int(recon[y, x - 1]), np.int64)
     else:
-        above = np.full(w, base - 1, np.int64)
+        above = np.full(alen, base - 1, np.int64)
     if have_left:
         avail_h = min(h, recon.shape[0] - y)
         left = np.empty(h, np.int64)
@@ -119,4 +136,17 @@ def predict_intra(mode: int, above: np.ndarray, left: np.ndarray,
         wx = SM_WEIGHTS[w][None, :]
         right = int(above[w - 1])
         return _round2(wx * left[:h, None] + (256 - wx) * right, 8)
+    if mode in (D45_PRED, D67_PRED):
+        # spec 7.11.2.4, pAngle < 90 (above-only), upsample/edge filter off
+        dx = DR_INTRA_DERIVATIVE[45 if mode == D45_PRED else 67]
+        i = np.arange(1, h + 1, dtype=np.int64)[:, None]
+        j = np.arange(w, dtype=np.int64)[None, :]
+        idx = i * dx
+        pos = (idx >> 6) + j
+        shift = (idx >> 1) & 0x1F
+        max_base = w + h - 1
+        b = np.minimum(pos, max_base)
+        interp = _round2(above[b] * (32 - shift)
+                         + above[np.minimum(b + 1, max_base)] * shift, 5)
+        return np.where(pos < max_base, interp, above[max_base])
     raise NotImplementedError(f"intra mode {mode}")

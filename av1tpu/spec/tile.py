@@ -175,7 +175,44 @@ class TileCoder:
         sb_bsize = 15 if self.seq.use_128x128_superblock else 12
         for r in range(self.r0, self.r1, sb_mi):
             for c in range(self.c0, self.c1, sb_mi):
+                self._clear_block_decoded(r, c, sb_mi)
                 self.partition(r, c, sb_bsize)
+
+    # ------------------------------------------------------------------
+    # BlockDecoded flags (spec 5.11.3): per-superblock decoded map in plane
+    # 4-sample units, driving above-right availability for directional modes
+    # ------------------------------------------------------------------
+
+    def _clear_block_decoded(self, r, c, sb_mi):
+        self._sb_mi = (r, c)
+        self._dec = []
+        for plane in range(3):
+            sub = 1 if plane else 0
+            w4 = sb_mi >> sub
+            f = np.zeros((w4 + 2, w4 + 2), np.int8)  # [-1..w4] each axis, +1
+            f[0, :] = 1          # row above the SB: fully decoded territory
+            f[: w4 + 1, 0] = 1   # col left of the SB, except y = sbH4
+            self._dec.append(f)
+
+    def _set_block_decoded(self, plane, x, y, tx):
+        sub = 1 if plane else 0
+        f = self._dec[plane]
+        y0 = (y >> 2) - ((self._sb_mi[0] * 4) >> sub >> 2)
+        x0 = (x >> 2) - ((self._sb_mi[1] * 4) >> sub >> 2)
+        f[y0 + 1 : y0 + 1 + (TX_H[tx] >> 2),
+          x0 + 1 : x0 + 1 + (TX_W[tx] >> 2)] = 1
+
+    def _have_above_right(self, plane, x, y, tx):
+        sub = 1 if plane else 0
+        if x + TX_W[tx] >= ((self.c1 * 4) >> sub):
+            return False  # above-right would start beyond the tile
+        f = self._dec[plane]
+        y0 = (y >> 2) - ((self._sb_mi[0] * 4) >> sub >> 2)
+        x0 = (x >> 2) - ((self._sb_mi[1] * 4) >> sub >> 2)
+        xq = x0 + (TX_W[tx] >> 2)
+        if xq + 1 >= f.shape[1]:
+            return False
+        return bool(f[y0, xq + 1])
 
     # ------------------------------------------------------------------
     # partition tree
@@ -438,8 +475,10 @@ class TileCoder:
         w, h = TX_W[tx], TX_H[tx]
         have_above = y > ((self.r0 * 4) >> sub)
         have_left = x > ((self.c0 * 4) >> sub)
+        have_ur = have_above and self._have_above_right(plane, x, y, tx)
         above, left, corner = build_edges(
-            recon, x, y, w, h, have_above, have_left, self.bd)
+            recon, x, y, w, h, have_above, have_left, self.bd,
+            have_above_right=have_ur)
         return predict_intra(mode, above, left, corner, w, h,
                              have_above, have_left, self.bd)
 
@@ -473,6 +512,7 @@ class TileCoder:
             recon_blk = np.clip(pred + inverse_transform_2d(dq, ttype),
                                 0, self.pix_max)
             self.planes[plane][y : y + h, x : x + w] = recon_blk
+            self._set_block_decoded(plane, x, y, tx)
             scan = default_scan(tx)
             cw = min(w, 32)
             lv_flat = levels[:min(h, 32), :cw].ravel()
@@ -532,6 +572,7 @@ class TileCoder:
                     blk = np.clip(pred + inverse_transform_2d(dq, ttype),
                                   0, self.pix_max)
                 self.planes[plane][y : y + h, x : x + w] = blk
+                self._set_block_decoded(plane, x, y, tx)
 
     # ------------------------------------------------------------------
     # coefficients

@@ -57,9 +57,9 @@ def main():
         return np.asarray(encode_intra_v_chunk(jax.device_put(c), QINDEX, h, w))
 
     # warm up (compile)
-    count, bm, vals = split_compact(roundtrip(chunk)[0], h, w)
+    count, bm, vals, modes = split_compact(roundtrip(chunk)[0], h, w)
     assert count <= len(vals), "compact value capacity exceeded"
-    packer.pack_tile_compact(bm, vals, h, w, QINDEX)
+    packer.pack_tile_compact(bm, vals, h, w, QINDEX, modes=modes)
 
     total_bytes = 0
     pool = ThreadPoolExecutor(max_workers=1)
@@ -70,9 +70,10 @@ def main():
         if i + k < FRAMES:
             pending = pool.submit(roundtrip, chunk)
         for buf in bufs:
-            count, bm, vals = split_compact(buf, h, w)
+            count, bm, vals, modes = split_compact(buf, h, w)
             assert count <= len(vals)
-            tile = packer.pack_tile_compact(bm, vals, h, w, QINDEX)
+            tile = packer.pack_tile_compact(bm, vals, h, w, QINDEX,
+                                            modes=modes)
             total_bytes += len(tile)
     dt = time.perf_counter() - start
     fps = FRAMES / dt

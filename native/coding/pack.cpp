@@ -278,7 +278,7 @@ static int compute_eob(const int32_t *lv, const int32_t *scan, int ncoef) {
 }
 
 static void code_coeffs(Tile &T, int plane, int x, int y, int n,
-                        const int32_t *lv, int tx_type_sym) {
+                        const int32_t *lv, int tx_type_sym, int y_mode) {
     // n = tx dim (16 luma / 8 chroma); square txs only
     int txs = n == 16 ? 2 : 1;
     int ptype = plane ? 1 : 0;
@@ -310,7 +310,7 @@ static void code_coeffs(Tile &T, int plane, int x, int y, int n,
     }
     if (plane == 0) {
         // tx type, intra set 2 (16x16), cdf indexed by [tx_sqr][y mode]
-        T.co.sym(T.ext_tx2[2][1], tx_type_sym);
+        T.co.sym(T.ext_tx2[2][y_mode], tx_type_sym);
     }
     // eob_pt
     int eob_pt = eob <= 2 ? eob : (32 - __builtin_clz(eob - 1)) + 1;
@@ -414,6 +414,8 @@ struct Grids {
     // = all luma blocks then u then v) + packed nonzero values
     const uint16_t *bitmap = nullptr;
     const int16_t *vals = nullptr;
+    // optional per-block luma modes (AV1 mode values; null = all V_PRED)
+    const int16_t *modes = nullptr;
     std::vector<uint32_t> voff;  // per-block value offset (y, then u, then v)
     int bcols = 0, brows = 0;
     // per-block scratch, filled by load()
@@ -486,22 +488,25 @@ static void code_block(Tile &T, Grids &G, int r, int c) {
     int sctx = (r > 0 ? T.above_skip[bx] : 0) + (c > 0 ? T.left_skip[by] : 0);
     T.co.sym(T.skip[sctx], skip);
 
+    // per-block luma mode from the TPU's RDO (V/D45/D67...); uv stays V
+    int mode = G.modes ? (int)G.modes[(size_t)by * G.bcols + bx] : 1;
     int am = r > 0 ? T.above_mode[bx] : 0;
     int lm = c > 0 ? T.left_mode[by] : 0;
-    T.co.sym(T.kf_y[am][lm], 1);          // V_PRED
-    T.co.sym(T.angle_delta[0], 3);        // delta 0
-    T.co.sym(T.uv_mode[1][1], 1);         // uv V_PRED (cfl allowed ctx)
+    T.co.sym(T.kf_y[am][lm], mode);
+    if (mode >= 1 && mode <= 8)           // directional: angle delta 0
+        T.co.sym(T.angle_delta[mode - 1], 3);
+    T.co.sym(T.uv_mode[1][mode], 1);      // uv V_PRED (cfl allowed ctx)
     T.co.sym(T.angle_delta[0], 3);        // uv delta 0
 
     T.above_skip[bx] = skip;
     T.left_skip[by] = skip;
-    T.above_mode[bx] = INTRA_MODE_CTX[1];
-    T.left_mode[by] = INTRA_MODE_CTX[1];
+    T.above_mode[bx] = INTRA_MODE_CTX[mode];
+    T.left_mode[by] = INTRA_MODE_CTX[mode];
 
     if (!skip) {
-        code_coeffs(T, 0, c * 4, r * 4, 16, ly, 1);
-        code_coeffs(T, 1, c * 2, r * 2, 8, lu, 0);
-        code_coeffs(T, 2, c * 2, r * 2, 8, lvp, 0);
+        code_coeffs(T, 0, c * 4, r * 4, 16, ly, 1, mode);
+        code_coeffs(T, 1, c * 2, r * 2, 8, lu, 0, 0);
+        code_coeffs(T, 2, c * 2, r * 2, 8, lvp, 0, 0);
     } else {
         for (int p = 0; p < 3; p++) {
             int sub = p ? 1 : 0;
@@ -560,13 +565,14 @@ size_t pack_tile_v1(const int32_t *ly, const int32_t *lu, const int32_t *lv,
 // compact input: significance bitmap + packed nonzero values (see
 // av1tpu/models/intra_v.py encode_intra_v_compact for the layout)
 size_t pack_tile_v2(const uint16_t *bitmap, const int16_t *vals,
+                    const int16_t *modes,
                     int mi_rows, int mi_cols, int qindex, int disable_update,
                     uint8_t *out, size_t cap) {
     Tile T;
     T.init(qindex, mi_rows, mi_cols);
     T.co.update = !disable_update;
     Grids G;
-    G.bitmap = bitmap; G.vals = vals;
+    G.bitmap = bitmap; G.vals = vals; G.modes = modes;
     G.bcols = mi_cols / 4; G.brows = mi_rows / 4;
     G.build_offsets();
     return run_pack(T, G, mi_rows, mi_cols, out, cap);

@@ -76,7 +76,8 @@ class Packer:
         else:
             mptr = ctypes.POINTER(ctypes.c_int16)()
         mi_rows, mi_cols = height // 4, width // 4
-        cap = height * width * 2 + 65536
+        # worst case ~40 bits per coefficient (1.5 coefs per luma pixel)
+        cap = height * width * 8 + 65536
         out = (ctypes.c_uint8 * cap)()
         n = self._fn2(bm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
                       vv.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),

@@ -1,0 +1,315 @@
+"""TPU intra pipeline with 32x32/16x16 partition RDO.
+
+Extends the row-parallel design of intra_v: the frame is processed in
+32-luma-pixel block rows; within each, both 16x16 candidates (two RDO'd
+16-rows, V/D45/D67 per block) and a 32x32 candidate (V/D45/D67, DCT,
+dequant shift 1) are coded, and each 32x32 region picks NONE vs SPLIT by
+pixel-domain rate-distortion cost.  Chroma block size is dictated by the
+luma choice (spec: chroma bsize for a 32 block is 16x16 with derived
+ADST_DCT), so both the 8x8 two-row and 16x16 one-row chroma codings are
+computed and selected by the split grid.
+
+All prediction stays above-row-only, so every step remains one batched
+matmul + vectorized integer butterflies; the only sequencing is the scan
+over 32-rows (and the first frame row's per-column chain).
+
+Costs: coefficient-domain SSE divided by the measured coef/pixel ratio
+(6.4 for 16x16, 1.51 for 32x32 at this transform scaling) + lambda * rate,
+lambda = 0.047 * ac^2 (the 0.3 coefficient-domain value from intra_v
+converted to pixel domain).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from av1tpu.models.intra_v import (
+    _RDO_MODES, _UR_MASK, _directional_pred, _plane_params,
+)
+from av1tpu.ops.transforms_jax import forward_matrix, inverse_transform
+
+_RATIO = {16: 6.4, 32: 1.51}
+_SPLIT_OVERHEAD_BITS = 12.0  # extra signaling of 4 blocks vs 1
+
+
+def _avail16_grid(rows: int, cols: int) -> np.ndarray:
+    g = np.zeros((rows, cols), np.bool_)
+    for r in range(1, rows):
+        g[r] = _UR_MASK[r % 4][np.arange(cols) % 4]
+    g[:, cols - 1] = False
+    return g
+
+
+def _avail32_grid(rows32: int, cols32: int) -> np.ndarray:
+    # 32-blocks form 2x2 per SB; Z-order: only the SB's bottom-right 32
+    # lacks above-right (plus the frame's last column / first row)
+    m = np.array([[1, 1], [1, 0]], np.bool_)
+    g = np.zeros((rows32, cols32), np.bool_)
+    for r in range(1, rows32):
+        g[r] = m[r % 2][np.arange(cols32) % 2]
+    g[:, cols32 - 1] = False
+    return g
+
+
+def _edges(bottom, av, n: int, cols: int):
+    """(cols, 2n) above edges with above-right from a full-width bottom
+    row carry, replicated where unavailable."""
+    padded = jnp.concatenate([bottom, bottom[-1:].repeat(n)])
+    win = jnp.asarray(np.arange(cols)[:, None] * n
+                      + np.arange(2 * n)[None, :])
+    ae = jnp.take(padded, win)
+    repl = ae[:, n - 1][:, None]
+    k = jnp.arange(2 * n)[None, :]
+    return jnp.where((k < n) | av[:, None], ae, repl)
+
+
+def _mode_rdo(blocks, ae, consts):
+    """Shared V/D45/D67 RD selection for one row of n x n blocks.
+    Returns (lv int32 (cols,n,n), pred (cols,n,n), modes int8, cost_pix)."""
+    n, fwd, step_eff, cap, lam_pix = consts
+    cols = blocks.shape[0]
+    pred_v = jnp.repeat(ae[:, None, :n], n, axis=1)
+    cands = [(1, pred_v)]
+    for mode_val, dx in _RDO_MODES:
+        cands.append((mode_val, _directional_pred(ae, dx, n)))
+    nm = len(cands)
+    preds = jnp.concatenate([p for _, p in cands], axis=0)
+    blocks_r = jnp.tile(blocks, (nm, 1, 1))
+    resid = (blocks_r - preds).reshape(nm * cols, n * n).astype(jnp.float32)
+    coefs = resid @ fwd.T
+    lv_all = jnp.clip(jnp.round(coefs / step_eff).astype(jnp.int32),
+                      -cap, cap)
+    dist = (jnp.sum((coefs - lv_all * step_eff) ** 2, axis=1)
+            / _RATIO[n]).reshape(nm, -1)
+    alv = jnp.abs(lv_all.astype(jnp.float32))
+    rate = jnp.sum(jnp.where(alv > 0, 2.0, 0.0) + jnp.log2(1.0 + alv),
+                   axis=1).reshape(nm, -1)
+    rate = rate + jnp.array([0.0] + [4.0] * (nm - 1), jnp.float32)[:, None]
+    cost = dist + lam_pix * rate
+    choice = jnp.argmin(cost, axis=0)
+    lv = jnp.take_along_axis(lv_all.reshape(nm, cols, n, n),
+                             choice[None, :, None, None], axis=0)[0]
+    pred = jnp.take_along_axis(preds.reshape(nm, cols, n, n),
+                               choice[None, :, None, None], axis=0)[0]
+    modes = jnp.asarray([m for m, _ in cands], jnp.int8)[choice]
+    best = jnp.take_along_axis(cost, choice[None], axis=0)[0]
+    return lv, pred, modes, best
+
+
+def _recon16(lv, pred, q, pix_max):
+    r = inverse_transform(lv * q.reshape(16, 16), 16, 16, 0)
+    return jnp.clip(pred + r, 0, pix_max)
+
+
+def _recon32(lv, pred, q, pix_max):
+    dq = jnp.sign(lv) * ((jnp.abs(lv) * q.reshape(32, 32)) >> 1)
+    r = inverse_transform(dq, 32, 32, 0)
+    return jnp.clip(pred + r, 0, pix_max)
+
+
+def _encode_luma_part(src, qindex, bit_depth: int = 8):
+    """Returns (lv16 (r16,c16,16,16) i16, lv32 (r32,c32,32,32) i16,
+    modes16 i8, modes32 i8, split (r32,c32) bool, recon)."""
+    h, w = src.shape
+    rows16, cols16 = h // 16, w // 16
+    rows32, cols32 = h // 32, w // 32
+    pix_max = (1 << bit_depth) - 1
+    base = 1 << (bit_depth - 1)
+
+    fwd16 = jnp.asarray(forward_matrix(16, 16, 0))
+    fwd32 = jnp.asarray(forward_matrix(32, 32, 0))
+    step16, q16, cap16 = _plane_params(qindex, 16, bit_depth)
+    step32, q32, cap32 = _plane_params(qindex, 32, bit_depth)
+    ac = step16[1]
+    lam_pix = (ac * ac * 0.047).astype(jnp.float32)
+    c16 = (16, fwd16, step16, cap16, lam_pix)
+    c32 = (32, fwd32, step32 * 0.5, cap32, lam_pix)  # dequant shift 1
+
+    src16 = src.reshape(rows16, 16, cols16, 16).transpose(0, 2, 1, 3)
+    src32 = src.reshape(rows32, 32, cols32, 32).transpose(0, 2, 1, 3)
+    av16 = jnp.asarray(_avail16_grid(rows16, cols16))
+    av32 = jnp.asarray(_avail32_grid(rows32, cols32))
+
+    def rdo16_row(bottom, blocks, av):
+        ae = _edges(bottom, av, 16, cols16)
+        lv, pred, modes, cost = _mode_rdo(blocks, ae, c16)
+        rec = _recon16(lv, pred, q16, pix_max)
+        return lv, rec, modes, cost
+
+    # ---- frame row 0: forced SPLIT; top 16-row is the sequential chain ----
+    def col_step(edge_val, block):
+        pred = jnp.full((16, 16), edge_val, jnp.int32)
+        resid = (block - pred).reshape(1, 256).astype(jnp.float32)
+        coefs = resid @ fwd16.T
+        lv = jnp.clip(jnp.round(coefs / step16).astype(jnp.int32),
+                      -cap16, cap16).reshape(16, 16)
+        rec = _recon16(lv[None], pred[None], q16, pix_max)[0]
+        return rec[0, 15], (lv, rec)
+
+    _, (lv_r0t, rec_r0t) = jax.lax.scan(col_step, jnp.int32(base - 1),
+                                        src16[0])
+    lv_r0b, rec_r0b, modes_r0b, _ = rdo16_row(
+        rec_r0t[:, 15, :].reshape(-1), src16[1], av16[1])
+    row0 = {
+        "lv16": jnp.stack([lv_r0t.astype(jnp.int16),
+                           lv_r0b.astype(jnp.int16)]),
+        "modes16": jnp.stack([jnp.full((cols16,), 1, jnp.int8), modes_r0b]),
+        "rec": jnp.stack([rec_r0t, rec_r0b]),
+        "split": jnp.ones((cols32,), bool),
+        "lv32": jnp.zeros((cols32, 32, 32), jnp.int16),
+        "modes32": jnp.full((cols32,), 1, jnp.int8),
+    }
+
+    def row32_step(bottom, xs):
+        blocks16_t, blocks16_b, blocks32, av_t, av_b, av3 = xs
+        lv_t, rec_t, modes_t, cost_t = rdo16_row(bottom, blocks16_t, av_t)
+        lv_b, rec_b, modes_b, cost_b = rdo16_row(
+            rec_t[:, 15, :].reshape(-1), blocks16_b, av_b)
+        ae32 = _edges(bottom, av3, 32, cols32)
+        lv32, pred32, modes32, cost32 = _mode_rdo(blocks32, ae32, c32)
+        rec32 = _recon32(lv32, pred32, q32, pix_max)
+
+        cost_16s = (cost_t.reshape(cols32, 2).sum(1)
+                    + cost_b.reshape(cols32, 2).sum(1)
+                    + lam_pix * _SPLIT_OVERHEAD_BITS)
+        split = cost_16s < cost32                       # (cols32,)
+
+        # zero the losing branch's levels
+        s4 = jnp.repeat(split, 2)
+        lv_t = jnp.where(s4[:, None, None], lv_t, 0).astype(jnp.int16)
+        lv_b = jnp.where(s4[:, None, None], lv_b, 0).astype(jnp.int16)
+        lv32 = jnp.where(split[:, None, None], 0, lv32).astype(jnp.int16)
+
+        # carry: bottom pixel row from the winning branch
+        bot16 = rec_b[:, 15, :].reshape(cols32, 32)
+        bot32 = rec32[:, 31, :]
+        carry = jnp.where(split[:, None], bot16, bot32).reshape(-1)
+        # recon rows (2, cols16, 16, 16) from the winning branch
+        rec32_as16 = (rec32.reshape(cols32, 2, 16, 2, 16)
+                      .transpose(1, 0, 3, 2, 4)
+                      .reshape(2, cols16, 16, 16))
+        rec16_pair = jnp.stack([rec_t, rec_b])
+        rec = jnp.where(s4[None, :, None, None], rec16_pair, rec32_as16)
+        return carry, {"lv16": jnp.stack([lv_t, lv_b]),
+                       "modes16": jnp.stack([modes_t, modes_b]),
+                       "rec": rec, "split": split, "lv32": lv32,
+                       "modes32": modes32}
+
+    if rows32 > 1:
+        xs = (src16[2::2], src16[3::2], src32[1:],
+              av16[2::2], av16[3::2], av32[1:])
+        carry0 = rec_r0b[:, 15, :].reshape(-1)
+        _, rest = jax.lax.scan(row32_step, carry0, xs)
+        out = {k: jnp.concatenate([row0[k][None], rest[k]], axis=0)
+               for k in row0}
+    else:
+        out = {k: v[None] for k, v in row0.items()}
+
+    lv16 = out["lv16"].reshape(rows16, cols16, 16, 16)
+    modes16 = out["modes16"].reshape(rows16, cols16)
+    recon = (out["rec"].reshape(rows32, 2, cols16, 16, 16)
+             .transpose(0, 1, 3, 2, 4).reshape(h, w))
+    return (lv16, out["lv32"], modes16, out["modes32"], out["split"],
+            recon)
+
+
+def _encode_chroma_dual(src, split, qindex, bit_depth: int = 8):
+    """Chroma plane with size dictated by the luma split grid: 8x8 blocks
+    (two rows per region, DCT... ADST_DCT at 8) where split, one 16x16
+    ADST_DCT block where not.  Returns (lv8 (r8,c8,8,8) i16,
+    lv16 (r16c,c16c,16,16) i16, recon)."""
+    h, w = src.shape
+    rows8, cols8 = h // 8, w // 8
+    rows16c, cols16c = h // 16, w // 16  # == rows32, cols32 of luma
+    pix_max = (1 << bit_depth) - 1
+    base = 1 << (bit_depth - 1)
+
+    fwd8 = jnp.asarray(forward_matrix(8, 8, 1))    # ADST_DCT (uv V_PRED)
+    fwd16 = jnp.asarray(forward_matrix(16, 16, 1))
+    step8, q8, cap8 = _plane_params(qindex, 8, bit_depth)
+    step16, q16, cap16 = _plane_params(qindex, 16, bit_depth)
+
+    src8 = src.reshape(rows8, 8, cols8, 8).transpose(0, 2, 1, 3)
+    src16 = src.reshape(rows16c, 16, cols16c, 16).transpose(0, 2, 1, 3)
+
+    def enc(blocks, pred, fwd, step, q, cap, n, tt):
+        b = blocks.shape[0]
+        resid = (blocks - pred).reshape(b, n * n).astype(jnp.float32)
+        coefs = resid @ fwd.T
+        lv = jnp.clip(jnp.round(coefs / step).astype(jnp.int32), -cap, cap)
+        r = inverse_transform((lv * q).reshape(b, n, n), n, n, tt)
+        return lv.reshape(b, n, n), jnp.clip(pred + r, 0, pix_max)
+
+    def row8_v(bottom, blocks):
+        pred = jnp.repeat(bottom.reshape(cols8, 1, 8), 8, axis=1)
+        return enc(blocks, pred, fwd8, step8, q8, cap8, 8, 1)
+
+    # frame row 0 (always split): sequential 8x8 chain
+    def col_step(edge_val, block):
+        pred = jnp.full((8, 8), edge_val, jnp.int32)
+        lv, rec = enc(block[None], pred[None], fwd8, step8, q8, cap8, 8, 1)
+        return rec[0, 0, 7], (lv[0], rec[0])
+
+    _, (lv8_0t, rec8_0t) = jax.lax.scan(col_step, jnp.int32(base - 1),
+                                        src8[0])
+    lv8_0b, rec8_0b = row8_v(rec8_0t[:, 7, :], src8[1])
+    row0 = {
+        "lv8": jnp.stack([lv8_0t, lv8_0b]).astype(jnp.int16),
+        "lv16": jnp.zeros((cols16c, 16, 16), jnp.int16),
+        "rec": jnp.stack([rec8_0t, rec8_0b]),
+    }
+
+    def row16_step(bottom, xs):
+        blocks8_t, blocks8_b, blocks16, sp = xs
+        lv8_t, rec8_t = row8_v(bottom.reshape(cols8, 8), blocks8_t)
+        lv8_b, rec8_b = row8_v(rec8_t[:, 7, :], blocks8_b)
+        pred16 = jnp.repeat(bottom.reshape(cols16c, 1, 16), 16, axis=1)
+        lv16, rec16 = enc(blocks16, pred16, fwd16, step16, q16, cap16,
+                          16, 1)
+        s2 = jnp.repeat(sp, 2)
+        lv8_t = jnp.where(s2[:, None, None], lv8_t, 0)
+        lv8_b = jnp.where(s2[:, None, None], lv8_b, 0)
+        lv16 = jnp.where(sp[:, None, None], 0, lv16)
+        bot8 = rec8_b[:, 7, :].reshape(cols16c, 16)
+        bot16 = rec16[:, 15, :]
+        carry = jnp.where(sp[:, None], bot8, bot16).reshape(-1)
+        rec16_as8 = (rec16.reshape(cols16c, 2, 8, 2, 8)
+                     .transpose(1, 0, 3, 2, 4).reshape(2, cols8, 8, 8))
+        rec8_pair = jnp.stack([rec8_t, rec8_b])
+        rec = jnp.where(s2[None, :, None, None], rec8_pair, rec16_as8)
+        return carry, {"lv8": jnp.stack([lv8_t, lv8_b]).astype(jnp.int16),
+                       "lv16": lv16.astype(jnp.int16), "rec": rec}
+
+    if rows16c > 1:
+        xs = (src8[2::2], src8[3::2], src16[1:], split[1:])
+        carry0 = rec8_0b[:, 7, :].reshape(-1)
+        _, rest = jax.lax.scan(row16_step, carry0, xs)
+        out = {k: jnp.concatenate([row0[k][None], rest[k]], axis=0)
+               for k in row0}
+    else:
+        out = {k: v[None] for k, v in row0.items()}
+
+    lv8 = out["lv8"].reshape(rows8, cols8, 8, 8)
+    recon = (out["rec"].reshape(rows16c, 2, cols8, 8, 8)
+             .transpose(0, 1, 3, 2, 4).reshape(h, w))
+    return lv8, out["lv16"], recon
+
+
+@functools.partial(jax.jit, static_argnames=("bit_depth",))
+def encode_intra_part(y, u, v, qindex, bit_depth: int = 8):
+    """Full-frame intra encode with 32/16 partition RDO.  Dims must be
+    64-multiples.  Returns level grids per size, modes, split map and
+    reconstructions."""
+    ly16, ly32, m16, m32, split, ry = _encode_luma_part(y, qindex,
+                                                        bit_depth)
+    lu8, lu16, ru = _encode_chroma_dual(u, split, qindex, bit_depth)
+    lv8, lv16c, rv = _encode_chroma_dual(v, split, qindex, bit_depth)
+    return {"levels_y16": ly16, "levels_y32": ly32,
+            "modes16": m16, "modes32": m32, "split": split,
+            "levels_u8": lu8, "levels_u16": lu16,
+            "levels_v8": lv8, "levels_v16": lv16c,
+            "recon_y": ry, "recon_u": ru, "recon_v": rv}

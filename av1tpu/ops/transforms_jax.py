@@ -133,12 +133,129 @@ def iadst8(x):
                      axis=-1)
 
 
-_1D = {("d", 4): idct4, ("d", 8): idct8, ("d", 16): idct16, ("a", 8): iadst8}
+def _c128(a: int) -> int:
+    a &= 255
+    if a <= 64:
+        return COS[a]
+    if a <= 128:
+        return -COS[128 - a]
+    if a <= 192:
+        return -COS[a - 128]
+    return COS[256 - a]
+
+
+def idct32(x):
+    e = idct16(x[..., 0::2])
+    xo = [x[..., i] for i in (1, 17, 9, 25, 5, 21, 13, 29,
+                              3, 19, 11, 27, 7, 23, 15, 31)]
+    angles = [(62, 2), (30, 34), (46, 18), (14, 50),
+              (54, 10), (22, 42), (38, 26), (6, 58)]
+    s = [None] * 16
+    for k, (a1, a2) in enumerate(angles):
+        lo, hi = xo[k], xo[15 - k]
+        s[k] = _btf(_c128(a1), lo, -_c128(a2), hi)
+        s[15 - k] = _btf(_c128(a2), lo, _c128(a1), hi)
+    t = [None] * 16
+    for i in range(0, 16, 4):
+        t[i] = s[i] + s[i + 1]
+        t[i + 1] = s[i] - s[i + 1]
+        t[i + 2] = -s[i + 2] + s[i + 3]
+        t[i + 3] = s[i + 2] + s[i + 3]
+    u = list(t)
+    u[1] = _btf(-COS[8], t[1], COS[56], t[14])
+    u[2] = _btf(-COS[56], t[2], -COS[8], t[13])
+    u[13] = _btf(-COS[8], t[2], COS[56], t[13])
+    u[14] = _btf(COS[56], t[1], COS[8], t[14])
+    u[5] = _btf(-COS[40], t[5], COS[24], t[10])
+    u[6] = _btf(-COS[24], t[6], -COS[40], t[9])
+    u[9] = _btf(-COS[40], t[6], COS[24], t[9])
+    u[10] = _btf(COS[24], t[5], COS[40], t[10])
+    v = [u[0] + u[3], u[1] + u[2], u[1] - u[2], u[0] - u[3],
+         -u[4] + u[7], -u[5] + u[6], u[5] + u[6], u[4] + u[7],
+         u[8] + u[11], u[9] + u[10], u[9] - u[10], u[8] - u[11],
+         -u[12] + u[15], -u[13] + u[14], u[13] + u[14], u[12] + u[15]]
+    w = list(v)
+    w[2] = _btf(-COS[16], v[2], COS[48], v[13])
+    w[3] = _btf(-COS[16], v[3], COS[48], v[12])
+    w[12] = _btf(COS[48], v[3], COS[16], v[12])
+    w[13] = _btf(COS[48], v[2], COS[16], v[13])
+    w[4] = _btf(-COS[48], v[4], -COS[16], v[11])
+    w[5] = _btf(-COS[48], v[5], -COS[16], v[10])
+    w[10] = _btf(-COS[16], v[5], COS[48], v[10])
+    w[11] = _btf(-COS[16], v[4], COS[48], v[11])
+    y = [w[0] + w[7], w[1] + w[6], w[2] + w[5], w[3] + w[4],
+         w[3] - w[4], w[2] - w[5], w[1] - w[6], w[0] - w[7],
+         -w[8] + w[15], -w[9] + w[14], -w[10] + w[13], -w[11] + w[12],
+         w[11] + w[12], w[10] + w[13], w[9] + w[14], w[8] + w[15]]
+    z = list(y)
+    for i in (4, 5, 6, 7):
+        z[i] = _btf(-COS[32], y[i], COS[32], y[15 - i])
+        z[15 - i] = _btf(COS[32], y[i], COS[32], y[15 - i])
+    o = [e[..., i] + z[15 - i] for i in range(16)] + \
+        [e[..., 15 - i] - z[i] for i in range(16)]
+    return jnp.stack(o, axis=-1)
+
+
+def iadst16(x):
+    b = [x[..., 15], x[..., 0], x[..., 13], x[..., 2],
+         x[..., 11], x[..., 4], x[..., 9], x[..., 6],
+         x[..., 7], x[..., 8], x[..., 5], x[..., 10],
+         x[..., 3], x[..., 12], x[..., 1], x[..., 14]]
+    ang = [2, 10, 18, 26, 34, 42, 50, 58]
+    s = [None] * 16
+    for i in range(8):
+        a = ang[i]
+        s[2 * i] = _btf(_c128(a), b[2 * i], _c128(64 - a), b[2 * i + 1])
+        s[2 * i + 1] = _btf(_c128(64 - a), b[2 * i], -_c128(a),
+                            b[2 * i + 1])
+    t = [s[i] + s[i + 8] for i in range(8)] + \
+        [s[i] - s[i + 8] for i in range(8)]
+    u = t[:8] + [
+        _btf(COS[8], t[8], COS[56], t[9]),
+        _btf(COS[56], t[8], -COS[8], t[9]),
+        _btf(COS[40], t[10], COS[24], t[11]),
+        _btf(COS[24], t[10], -COS[40], t[11]),
+        _btf(-COS[56], t[12], COS[8], t[13]),
+        _btf(COS[8], t[12], COS[56], t[13]),
+        _btf(-COS[24], t[14], COS[40], t[15]),
+        _btf(COS[40], t[14], COS[24], t[15]),
+    ]
+    v = [u[i] + u[i + 4] for i in range(4)] + \
+        [u[i] - u[i + 4] for i in range(4)] + \
+        [u[8 + i] + u[12 + i] for i in range(4)] + \
+        [u[8 + i] - u[12 + i] for i in range(4)]
+    w = v[:4] + [
+        _btf(COS[16], v[4], COS[48], v[5]),
+        _btf(COS[48], v[4], -COS[16], v[5]),
+        _btf(-COS[48], v[6], COS[16], v[7]),
+        _btf(COS[16], v[6], COS[48], v[7]),
+    ] + v[8:12] + [
+        _btf(COS[16], v[12], COS[48], v[13]),
+        _btf(COS[48], v[12], -COS[16], v[13]),
+        _btf(-COS[48], v[14], COS[16], v[15]),
+        _btf(COS[16], v[14], COS[48], v[15]),
+    ]
+    y = [w[0] + w[2], w[1] + w[3], w[0] - w[2], w[1] - w[3],
+         w[4] + w[6], w[5] + w[7], w[4] - w[6], w[5] - w[7],
+         w[8] + w[10], w[9] + w[11], w[8] - w[10], w[9] - w[11],
+         w[12] + w[14], w[13] + w[15], w[12] - w[14], w[13] - w[15]]
+    z = list(y)
+    for i in (2, 6, 10, 14):
+        z[i] = _btf(COS[32], y[i], COS[32], y[i + 1])
+        z[i + 1] = _btf(COS[32], y[i], -COS[32], y[i + 1])
+    return jnp.stack(
+        [z[0], -z[8], z[12], -z[4], z[6], -z[14], z[10], -z[2],
+         z[3], -z[11], z[15], -z[7], z[5], -z[13], z[9], -z[1]],
+        axis=-1)
+
+
+_1D = {("d", 4): idct4, ("d", 8): idct8, ("d", 16): idct16,
+       ("d", 32): idct32, ("a", 8): iadst8, ("a", 16): iadst16}
 
 # (vertical kind, horizontal kind) for the tx types the pipeline emits
 _TX_KIND = {0: ("d", "d"), 1: ("a", "d"), 2: ("d", "a")}
 
-_ROW_SHIFT = {(4, 4): 0, (8, 8): 1, (16, 16): 2}
+_ROW_SHIFT = {(4, 4): 0, (8, 8): 1, (16, 16): 2, (32, 32): 2}
 
 
 def inverse_transform(coefs, w: int, h: int, tx_type: int = 0):

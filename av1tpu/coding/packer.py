@@ -29,6 +29,13 @@ class Packer:
                        ctypes.c_int, ctypes.c_int,
                        ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t]
         self._fn = fn
+        f3 = self._lib.pack_tile_v3
+        f3.restype = ctypes.c_size_t
+        f3.argtypes = [ctypes.POINTER(ctypes.c_uint16)] + \
+                      [ctypes.POINTER(ctypes.c_int16)] * 4 + \
+                      [ctypes.c_int] * 4 + \
+                      [ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t]
+        self._fn3 = f3
         f2 = self._lib.pack_tile_v2
         f2.restype = ctypes.c_size_t
         f2.argtypes = [ctypes.POINTER(ctypes.c_uint16),
@@ -86,6 +93,26 @@ class Packer:
                       out, cap)
         if n == 0:
             raise RuntimeError("pack_tile_v2 failed (buffer too small?)")
+        return bytes(bytearray(out)[:n])
+
+    def pack_tile_part(self, bitmap: np.ndarray, vals: np.ndarray,
+                       modes16: np.ndarray, modes32: np.ndarray,
+                       split: np.ndarray, height: int, width: int,
+                       qindex: int,
+                       disable_cdf_update: bool = False) -> bytes:
+        """Pack from the partition-RDO compact form (intra_part layout)."""
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        bm = np.ascontiguousarray(bitmap, np.uint16)
+        arrs = [np.ascontiguousarray(a, np.int16)
+                for a in (vals, modes16, modes32, split)]
+        cap = height * width * 8 + 65536
+        out = (ctypes.c_uint8 * cap)()
+        n = self._fn3(bm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                      *(a.ctypes.data_as(i16p) for a in arrs),
+                      height // 4, width // 4, qindex,
+                      int(disable_cdf_update), out, cap)
+        if n == 0:
+            raise RuntimeError("pack_tile_v3 failed (buffer too small?)")
         return bytes(bytearray(out)[:n])
 
 

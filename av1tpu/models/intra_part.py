@@ -299,6 +299,75 @@ def _encode_chroma_dual(src, split, qindex, bit_depth: int = 8):
     return lv8, out["lv16"], recon
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "cap"))
+def encode_intra_part_compact(frame_u8, qindex, height: int, width: int,
+                              cap: int = 163840):
+    """Compact transport for the partition pipeline: ONE int16 buffer
+    [count_lo, count_hi, bitmap over the section layout
+    (y16|y32|u8|v8|u16|v16), values (cap), modes16, modes32, split]."""
+    bit_depth = 8 if frame_u8.dtype == jnp.uint8 else 10
+    ny = height * width
+    nc = ny // 4
+    y = frame_u8[:ny].reshape(height, width).astype(jnp.int32)
+    u = frame_u8[ny : ny + nc].reshape(height // 2,
+                                       width // 2).astype(jnp.int32)
+    v = frame_u8[ny + nc :].reshape(height // 2,
+                                    width // 2).astype(jnp.int32)
+    o = encode_intra_part(y, u, v, qindex, bit_depth=bit_depth)
+    flat = jnp.concatenate([
+        o["levels_y16"].reshape(-1), o["levels_y32"].reshape(-1),
+        o["levels_u8"].reshape(-1), o["levels_v8"].reshape(-1),
+        o["levels_u16"].reshape(-1), o["levels_v16"].reshape(-1)])
+    sig = flat != 0
+    m = sig.shape[0]
+    bits = sig.reshape(m // 16, 16).astype(jnp.uint16)
+    bitmap = (bits << jnp.arange(16, dtype=jnp.uint16)).sum(
+        axis=-1, dtype=jnp.uint16)
+    pos = jnp.cumsum(sig.astype(jnp.int32)) - 1
+    count = pos[-1] + 1
+    vals = jnp.zeros((cap,), jnp.int16).at[
+        jnp.where(sig, pos, cap)].set(flat, mode="drop")
+    head = jnp.stack([count & 0x7FFF, count >> 15]).astype(jnp.int16)
+    return jnp.concatenate([
+        head, jax.lax.bitcast_convert_type(bitmap, jnp.int16), vals,
+        o["modes16"].reshape(-1).astype(jnp.int16),
+        o["modes32"].reshape(-1).astype(jnp.int16),
+        o["split"].reshape(-1).astype(jnp.int16)])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "cap"))
+def encode_intra_part_chunk(frames_u8, qindex, height: int, width: int,
+                            cap: int = 163840):
+    """(K, n_pixels) fused sources -> (K, compact_len) int16, one upload and
+    one fetch RPC per chunk (see intra_v.encode_intra_v_chunk)."""
+    return jax.vmap(
+        lambda f: encode_intra_part_compact(f, qindex, height, width, cap)
+    )(frames_u8)
+
+
+def part_sizes(height: int, width: int):
+    r16, c16 = height // 16, width // 16
+    r32, c32 = height // 32, width // 32
+    ncoef = (r16 * c16 * 256 + r32 * c32 * 1024 + 2 * r16 * c16 * 64
+             + 2 * r32 * c32 * 256)
+    return r16 * c16, r32 * c32, ncoef
+
+
+def split_compact_part(buf: np.ndarray, height: int, width: int):
+    """Host split: (count, bitmap u16, vals i16, modes16, modes32, split)."""
+    nb16, nb32, ncoef = part_sizes(height, width)
+    nwords = ncoef // 16
+    count = int(buf[0]) | (int(buf[1]) << 15)
+    bitmap = buf[2 : 2 + nwords].view(np.uint16)
+    tail = nb16 + 2 * nb32
+    vals = buf[2 + nwords : len(buf) - tail]
+    meta = buf[len(buf) - tail :]
+    return (count, bitmap, vals, meta[:nb16], meta[nb16 : nb16 + nb32],
+            meta[nb16 + nb32 :])
+
+
 @functools.partial(jax.jit, static_argnames=("bit_depth",))
 def encode_intra_part(y, u, v, qindex, bit_depth: int = 8):
     """Full-frame intra encode with 32/16 partition RDO.  Dims must be

@@ -185,7 +185,7 @@ struct Tile {
     Cdf ext_tx2[4][13];
     Cdf skip[3];
     Cdf txb_skip[5][13];
-    Cdf eob_pt256[2][2], eob_pt64[2][2];
+    Cdf eob_pt256[2][2], eob_pt64[2][2], eob_pt1024[2][2];
     Cdf eob_extra[5][2][9];
     Cdf base_eob[5][2][4];
     Cdf base[5][2][42];
@@ -216,6 +216,7 @@ struct Tile {
             for (int c2 = 0; c2 < 2; c2++) {
                 eob_pt256[p][c2].init(&tab_eob_pt_256[qctx][p][c2][0], 9);
                 eob_pt64[p][c2].init(&tab_eob_pt_64[qctx][p][c2][0], 7);
+                eob_pt1024[p][c2].init(&tab_eob_pt_1024[qctx][p][c2][0], 11);
             }
         for (int t = 0; t < 5; t++)
             for (int p = 0; p < 2; p++) {
@@ -231,11 +232,11 @@ struct Tile {
 
         above_part.assign(mi_cols, 0);
         left_part.assign(mi_rows, 0);
-        int bcols = mi_cols / 4, brows = mi_rows / 4;
-        above_skip.assign(bcols, 0);
-        left_skip.assign(brows, 0);
-        above_mode.assign(bcols, 0);
-        left_mode.assign(brows, 0);
+        // mi-granular mode/skip neighbor context (blocks are 16 or 32 px)
+        above_skip.assign(mi_cols, 0);
+        left_skip.assign(mi_rows, 0);
+        above_mode.assign(mi_cols, 0);
+        left_mode.assign(mi_rows, 0);
         for (int p2 = 0; p2 < 3; p2++) {
             a_lvl[p2].assign(mi_cols + 8, 0);
             l_lvl[p2].assign(mi_rows + 8, 0);
@@ -279,11 +280,12 @@ static int compute_eob(const int32_t *lv, const int32_t *scan, int ncoef) {
 
 static void code_coeffs(Tile &T, int plane, int x, int y, int n,
                         const int32_t *lv, int tx_type_sym, int y_mode) {
-    // n = tx dim (16 luma / 8 chroma); square txs only
-    int txs = n == 16 ? 2 : 1;
+    // n = tx dim (8/16/32); square txs only; block size == tx size
+    int txs = n == 32 ? 3 : (n == 16 ? 2 : 1);
     int ptype = plane ? 1 : 0;
     int x4 = x >> 2, y4 = y >> 2, w4 = n >> 2;
-    const int32_t *scan = n == 16 ? &scan_16_16[0] : &scan_8_8[0];
+    const int32_t *scan = n == 32 ? &scan_32_32[0]
+                         : (n == 16 ? &scan_16_16[0] : &scan_8_8[0]);
     int ncoef = n * n;
 
     // txb_skip ctx: block size == tx size -> 0 for luma; 7+a+l chroma
@@ -308,13 +310,16 @@ static void code_coeffs(Tile &T, int plane, int x, int y, int n,
         }
         return;
     }
-    if (plane == 0) {
-        // tx type, intra set 2 (16x16), cdf indexed by [tx_sqr][y mode]
+    if (plane == 0 && n == 16) {
+        // tx type, intra set 2 (16x16), cdf indexed by [tx_sqr][y mode];
+        // 32x32 is tx-set 0 (DCT only, no symbol), chroma types are derived
         T.co.sym(T.ext_tx2[2][y_mode], tx_type_sym);
     }
-    // eob_pt
+    // eob_pt (the 1024-coef table stores the 2D-class row first; smaller
+    // tables store it second — see av1tpu/spec/tile.py is_1d_ctx)
     int eob_pt = eob <= 2 ? eob : (32 - __builtin_clz(eob - 1)) + 1;
-    Cdf &ptcdf = n == 16 ? T.eob_pt256[ptype][1] : T.eob_pt64[ptype][1];
+    Cdf &ptcdf = n == 32 ? T.eob_pt1024[ptype][0]
+                : (n == 16 ? T.eob_pt256[ptype][1] : T.eob_pt64[ptype][1]);
     T.co.sym(ptcdf, eob_pt - 1);
     if (eob_pt > 2) {
         int ne = eob_pt - 2;
@@ -476,49 +481,163 @@ struct Grids {
     }
 };
 
+// partition-mode input: compact sections [y16 | y32 | u8 | v8 | u16 | v16]
+// + per-block modes and the per-region split map
+struct GridsPart {
+    const uint16_t *bitmap = nullptr;
+    const int16_t *vals = nullptr;
+    const int16_t *modes16 = nullptr;  // (brows16 x bcols16)
+    const int16_t *modes32 = nullptr;  // (brows32 x bcols32)
+    const int16_t *split = nullptr;    // (brows32 x bcols32), nonzero = split
+    int bcols = 0, brows = 0;          // 16px block grid
+    int bcols32 = 0, brows32 = 0;
+    size_t word_base[6];               // section word offsets
+    std::vector<uint32_t> voff[6];     // per-block value offsets per section
+    int32_t sy[256], su[64], sv[64];
+    int32_t sy32[1024], su16[256], sv16[256];
+    bool zy, zu, zv;
+
+    void build_offsets() {
+        int nb16 = bcols * brows, nb32 = bcols32 * brows32;
+        const int nblocks[6] = {nb16, nb32, nb16, nb16, nb32, nb32};
+        const int wper[6] = {16, 64, 4, 4, 16, 16};
+        uint32_t acc = 0;
+        size_t word = 0;
+        for (int s = 0; s < 6; s++) {
+            word_base[s] = word;
+            voff[s].resize(nblocks[s]);
+            for (int b = 0; b < nblocks[s]; b++) {
+                voff[s][b] = acc;
+                for (int i = 0; i < wper[s]; i++)
+                    acc += __builtin_popcount(bitmap[word++]);
+            }
+        }
+    }
+
+    bool expand_sect(int sect, int b, int words, int32_t *out) {
+        // returns true if any coefficient is nonzero
+        return GridsExpand(bitmap + word_base[sect] + (size_t)b * words,
+                           words, vals, voff[sect][b], out);
+    }
+
+    static bool GridsExpand(const uint16_t *bm, int words, const int16_t *v,
+                            uint32_t off, int32_t *out) {
+        bool nonzero = false;
+        memset(out, 0, (size_t)words * 16 * sizeof(int32_t));
+        for (int w2 = 0; w2 < words; w2++) {
+            unsigned m = bm[w2];
+            while (m) {
+                int t = __builtin_ctz(m);
+                out[w2 * 16 + t] = v[off++];
+                m &= m - 1;
+                nonzero = true;
+            }
+        }
+        return nonzero;
+    }
+
+    void load16(int by, int bx) {
+        int b = by * bcols + bx;
+        zy = !expand_sect(0, b, 16, sy);
+        zu = !expand_sect(2, b, 4, su);
+        zv = !expand_sect(3, b, 4, sv);
+    }
+    void load32(int by32, int bx32) {
+        int b = by32 * bcols32 + bx32;
+        zy = !expand_sect(1, b, 64, sy32);
+        zu = !expand_sect(4, b, 16, su16);
+        zv = !expand_sect(5, b, 16, sv16);
+    }
+};
+
 static const int INTRA_MODE_CTX[13] = {0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0};
 
-static void code_block(Tile &T, Grids &G, int r, int c) {
-    // r, c in mi units; block = 16x16 at (bx, by)
-    int by = r / 4, bx = c / 4;
-    G.load(by, bx);
-    const int32_t *ly = G.sy, *lu = G.su, *lvp = G.sv;
-    int skip = G.zy && G.zu && G.zv;
+// block header + residual syntax shared by every block size.
+// n = luma dim (16 or 32); levels pointers already expanded.
+static void code_block_common(Tile &T, int r, int c, int n, int mode,
+                              const int32_t *ly, const int32_t *lu,
+                              const int32_t *lvp, bool zy, bool zu,
+                              bool zv) {
+    int skip = zy && zu && zv;
+    int mi = n / 4;
 
-    int sctx = (r > 0 ? T.above_skip[bx] : 0) + (c > 0 ? T.left_skip[by] : 0);
+    int sctx = (r > 0 ? T.above_skip[c] : 0) + (c > 0 ? T.left_skip[r] : 0);
     T.co.sym(T.skip[sctx], skip);
 
-    // per-block luma mode from the TPU's RDO (V/D45/D67...); uv stays V
-    int mode = G.modes ? (int)G.modes[(size_t)by * G.bcols + bx] : 1;
-    int am = r > 0 ? T.above_mode[bx] : 0;
-    int lm = c > 0 ? T.left_mode[by] : 0;
+    int am = r > 0 ? T.above_mode[c] : 0;
+    int lm = c > 0 ? T.left_mode[r] : 0;
     T.co.sym(T.kf_y[am][lm], mode);
     if (mode >= 1 && mode <= 8)           // directional: angle delta 0
         T.co.sym(T.angle_delta[mode - 1], 3);
     T.co.sym(T.uv_mode[1][mode], 1);      // uv V_PRED (cfl allowed ctx)
     T.co.sym(T.angle_delta[0], 3);        // uv delta 0
 
-    T.above_skip[bx] = skip;
-    T.left_skip[by] = skip;
-    T.above_mode[bx] = INTRA_MODE_CTX[mode];
-    T.left_mode[by] = INTRA_MODE_CTX[mode];
+    for (int i = 0; i < mi; i++) {
+        T.above_skip[c + i] = skip;
+        T.left_skip[r + i] = skip;
+        T.above_mode[c + i] = INTRA_MODE_CTX[mode];
+        T.left_mode[r + i] = INTRA_MODE_CTX[mode];
+    }
 
     if (!skip) {
-        code_coeffs(T, 0, c * 4, r * 4, 16, ly, 1, mode);
-        code_coeffs(T, 1, c * 2, r * 2, 8, lu, 0, 0);
-        code_coeffs(T, 2, c * 2, r * 2, 8, lvp, 0, 0);
+        code_coeffs(T, 0, c * 4, r * 4, n, ly, 1, mode);
+        code_coeffs(T, 1, c * 2, r * 2, n / 2, lu, 0, 0);
+        code_coeffs(T, 2, c * 2, r * 2, n / 2, lvp, 0, 0);
     } else {
         for (int p = 0; p < 3; p++) {
             int sub = p ? 1 : 0;
             int x4 = (c * 4 >> sub) >> 2, y4 = (r * 4 >> sub) >> 2;
-            int w4 = (16 >> sub) >> 2;
+            int w4 = (n >> sub) >> 2;
             for (int i = 0; i < w4; i++) {
                 T.a_lvl[p][x4 + i] = 0; T.a_dc[p][x4 + i] = 0;
                 T.l_lvl[p][y4 + i] = 0; T.l_dc[p][y4 + i] = 0;
             }
         }
     }
-    T.update_part_ctx(r, c, 4, 4, 2, 2);
+    int lg = n == 32 ? 3 : 2;
+    T.update_part_ctx(r, c, mi, mi, lg, lg);
+}
+
+static void code_block(Tile &T, Grids &G, int r, int c) {
+    // r, c in mi units; block = 16x16 at (bx, by)
+    int by = r / 4, bx = c / 4;
+    G.load(by, bx);
+    int mode = G.modes ? (int)G.modes[(size_t)by * G.bcols + bx] : 1;
+    code_block_common(T, r, c, 16, mode, G.sy, G.su, G.sv, G.zy, G.zu,
+                      G.zv);
+}
+
+static void code_partition_part(Tile &T, GridsPart &G, int r, int c,
+                                int bsl) {
+    if (r >= T.mi_rows || c >= T.mi_cols) return;
+    int ctx = (bsl - 1) * 4 + T.part_ctx(r, c, bsl);
+    if (bsl == 2) {
+        T.co.sym(T.partition[ctx], 0);  // NONE
+        int by = r / 4, bx = c / 4;
+        G.load16(by, bx);
+        int mode = (int)G.modes16[(size_t)by * G.bcols + bx];
+        code_block_common(T, r, c, 16, mode, G.sy, G.su, G.sv, G.zy, G.zu,
+                          G.zv);
+        return;
+    }
+    if (bsl == 3) {
+        int by32 = r / 8, bx32 = c / 8;
+        size_t reg = (size_t)by32 * G.bcols32 + bx32;
+        if (!G.split[reg]) {
+            T.co.sym(T.partition[ctx], 0);  // NONE -> one 32x32 block
+            G.load32(by32, bx32);
+            int mode = (int)G.modes32[reg];
+            code_block_common(T, r, c, 32, mode, G.sy32, G.su16, G.sv16,
+                              G.zy, G.zu, G.zv);
+            return;
+        }
+    }
+    T.co.sym(T.partition[ctx], 3);      // SPLIT
+    int half = 1 << (bsl - 1);
+    code_partition_part(T, G, r, c, bsl - 1);
+    code_partition_part(T, G, r, c + half, bsl - 1);
+    code_partition_part(T, G, r + half, c, bsl - 1);
+    code_partition_part(T, G, r + half, c + half, bsl - 1);
 }
 
 static void code_partition(Tile &T, Grids &G, int r, int c, int bsl) {
@@ -564,6 +683,27 @@ size_t pack_tile_v1(const int32_t *ly, const int32_t *lu, const int32_t *lv,
 
 // compact input: significance bitmap + packed nonzero values (see
 // av1tpu/models/intra_v.py encode_intra_v_compact for the layout)
+// partition-aware input (32/16 mixed; see av1tpu/models/intra_part.py)
+size_t pack_tile_v3(const uint16_t *bitmap, const int16_t *vals,
+                    const int16_t *modes16, const int16_t *modes32,
+                    const int16_t *split,
+                    int mi_rows, int mi_cols, int qindex, int disable_update,
+                    uint8_t *out, size_t cap) {
+    Tile T;
+    T.init(qindex, mi_rows, mi_cols);
+    T.co.update = !disable_update;
+    GridsPart G;
+    G.bitmap = bitmap; G.vals = vals;
+    G.modes16 = modes16; G.modes32 = modes32; G.split = split;
+    G.bcols = mi_cols / 4; G.brows = mi_rows / 4;
+    G.bcols32 = mi_cols / 8; G.brows32 = mi_rows / 8;
+    G.build_offsets();
+    for (int r = 0; r < mi_rows; r += 16)
+        for (int c = 0; c < mi_cols; c += 16)
+            code_partition_part(T, G, r, c, 4);
+    return T.co.ec.done(out, cap);
+}
+
 size_t pack_tile_v2(const uint16_t *bitmap, const int16_t *vals,
                     const int16_t *modes,
                     int mi_rows, int mi_cols, int qindex, int disable_update,

@@ -54,6 +54,46 @@ class PartGridPlanner(FixedPartitionPlanner):
 
 
 @pytest.mark.parametrize("q", [60, 120])
+def test_partition_packer_matches_engine(q):
+    """C++ pack_tile_v3 must be byte-identical to the engine replay."""
+    from av1tpu.coding import Packer
+    from av1tpu.models.intra_part import (
+        encode_intra_part_compact, split_compact_part,
+    )
+    from av1tpu.models.intra_v import fuse_planes
+    from av1tpu.spec.cdf_state import EncCoder
+    from av1tpu.spec.tile import TileCoder
+
+    w, h = 192, 128
+    clip = synthetic_clip(w, h, 1, seed=q + 3)
+    y = clip.y[0].astype(np.int32)
+    u = clip.u[0].astype(np.int32)
+    v = clip.v[0].astype(np.int32)
+    out = {k: np.asarray(val) for k, val in
+           encode_intra_part(jnp.asarray(y), jnp.asarray(u),
+                             jnp.asarray(v), q).items()}
+
+    cfg = ef.EncoderConfig(base_q_idx=q)
+    seq = ef.make_sequence_header(w, h, cfg)
+    fh = ef.make_frame_header(seq, cfg)
+    src = [y, u, v]
+    recon = [np.zeros_like(p) for p in src]
+    coder = EncCoder(disable_cdf_update=bool(fh.disable_cdf_update))
+    TileCoder(seq, fh, coder, recon, source=src,
+              planner=PartGridPlanner(out)).code_tile()
+    py_tile = coder.done()
+
+    buf = np.asarray(encode_intra_part_compact(
+        fuse_planes(y, u, v), q, h, w, cap=32768))
+    count, bm, vals, m16, m32, split = split_compact_part(buf, h, w)
+    assert count <= len(vals)
+    assert np.array_equal(split.reshape(out["split"].shape),
+                          out["split"].astype(np.int16))
+    cpp_tile = Packer().pack_tile_part(bm, vals, m16, m32, split, h, w, q)
+    assert cpp_tile == py_tile
+
+
+@pytest.mark.parametrize("q", [60, 120])
 def test_partition_pipeline_matches_spec_and_decoders(tmp_path, q):
     clip = synthetic_clip(192, 128, 1, seed=q + 1)
     y = clip.y[0].astype(np.int32)

@@ -88,15 +88,17 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
         vj = jax.numpy.asarray(planes[0][2])
         if target_quality > 0:
             q, score = cq_search(yj, uj, vj, target_quality, metric=metric,
-                                 bit_depth=bd)
+                                 bit_depth=bd, partitions=partitions)
         else:
             q = qindex
             score = float(probe_quality(yj, uj, vj, jax.numpy.int32(q),
-                                        metric=metric, bit_depth=bd))
+                                        metric=metric, bit_depth=bd,
+                                        partitions=partitions))
         q_used.append(q)
         scores.append(score)
         psnrs.append(float(probe_quality(yj, uj, vj, jax.numpy.int32(q),
-                                         metric="psnr", bit_depth=bd)))
+                                         metric="psnr", bit_depth=bd,
+                                         partitions=partitions)))
 
         if partitions:
             bufs = np.asarray(

@@ -22,27 +22,37 @@ from av1tpu.models.intra_v import encode_intra_v
 METRICS = {"psnr": psnr, "ssim": ssim, "vmaf": tpu_vmaf}
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "bit_depth"))
+@functools.partial(jax.jit,
+                   static_argnames=("metric", "bit_depth", "partitions"))
 def probe_quality(y, u, v, qindex, metric: str = "vmaf",
-                  bit_depth: int = 8):
+                  bit_depth: int = 8, partitions: bool = False):
     """Encode at qindex and score the luma recon against the source.
     Runs entirely on device; returns a scalar.  10-bit planes are scored in
-    the 8-bit range (>> 2) so scores stay comparable across depths."""
-    out = encode_intra_v(y, u, v, qindex, bit_depth=bit_depth)
+    the 8-bit range (>> 2) so scores stay comparable across depths.
+    partitions=True probes with the 32/16 partition pipeline (the quality
+    preset's actual recon)."""
+    if partitions:
+        from av1tpu.models.intra_part import encode_intra_part
+        out = encode_intra_part(y, u, v, qindex, bit_depth=bit_depth)
+    else:
+        out = encode_intra_v(y, u, v, qindex, bit_depth=bit_depth)
     sh = bit_depth - 8
     return METRICS[metric](y >> sh, out["recon_y"] >> sh)
 
 
 def cq_search(y, u, v, target: float, metric: str = "vmaf",
               qmin: int = 8, qmax: int = 255, log=None,
-              bit_depth: int = 8) -> tuple[int, float]:
+              bit_depth: int = 8,
+              partitions: bool = False) -> tuple[int, float]:
     """Smallest-bitrate (largest) qindex whose score >= target; if even qmin
     misses the target, returns qmin.  Returns (qindex, achieved_score)."""
     lo, hi = qmin, qmax  # score(lo) is the best achievable
     best_q, best_score = qmin, None
     while lo <= hi:
         mid = (lo + hi) // 2
-        score = float(probe_quality(y, u, v, jnp.int32(mid), metric=metric, bit_depth=bit_depth))
+        score = float(probe_quality(y, u, v, jnp.int32(mid), metric=metric,
+                                    bit_depth=bit_depth,
+                                    partitions=partitions))
         if log:
             log(f"cq probe q={mid} {metric}={score:.3f}")
         if score >= target:
@@ -52,6 +62,7 @@ def cq_search(y, u, v, target: float, metric: str = "vmaf",
             hi = mid - 1
     if best_score is None:
         best_score = float(
-            probe_quality(y, u, v, jnp.int32(qmin), metric=metric, bit_depth=bit_depth))
+            probe_quality(y, u, v, jnp.int32(qmin), metric=metric,
+                          bit_depth=bit_depth, partitions=partitions))
         best_q = qmin
     return best_q, best_score

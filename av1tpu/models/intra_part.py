@@ -315,10 +315,14 @@ def encode_intra_part_compact(frame_u8, qindex, height: int, width: int,
     v = frame_u8[ny + nc :].reshape(height // 2,
                                     width // 2).astype(jnp.int32)
     o = encode_intra_part(y, u, v, qindex, bit_depth=bit_depth)
+    # union layout: the 32x32 (and chroma 16x16) winners' coefficients are
+    # scattered into the losing branch's zeroed 16x16 (8x8) grid slots as
+    # raster quadrants, so the transport is exactly the fast path's size +
+    # the tiny meta arrays.  The split map tells the packer how to read.
     flat = jnp.concatenate([
-        o["levels_y16"].reshape(-1), o["levels_y32"].reshape(-1),
-        o["levels_u8"].reshape(-1), o["levels_v8"].reshape(-1),
-        o["levels_u16"].reshape(-1), o["levels_v16"].reshape(-1)])
+        _merge_quads(o["levels_y16"], o["levels_y32"], 16).reshape(-1),
+        _merge_quads(o["levels_u8"], o["levels_u16"], 8).reshape(-1),
+        _merge_quads(o["levels_v8"], o["levels_v16"], 8).reshape(-1)])
     sig = flat != 0
     m = sig.shape[0]
     bits = sig.reshape(m // 16, 16).astype(jnp.uint16)
@@ -347,11 +351,21 @@ def encode_intra_part_chunk(frames_u8, qindex, height: int, width: int,
     )(frames_u8)
 
 
+def _merge_quads(small, big, n: int):
+    """Scatter (r_big, c_big, 2n, 2n) winner blocks into the zeroed
+    (r, c, n, n) grid as raster quadrants (slots are disjoint since the
+    losing branch was zeroed)."""
+    rb, cb = big.shape[0], big.shape[1]
+    quads = (big.reshape(rb, cb, 2, n, 2, n)
+             .transpose(0, 2, 1, 4, 3, 5)          # (rb, 2, cb, 2, n, n)
+             .reshape(rb * 2, cb * 2, n, n))
+    return small + quads
+
+
 def part_sizes(height: int, width: int):
     r16, c16 = height // 16, width // 16
     r32, c32 = height // 32, width // 32
-    ncoef = (r16 * c16 * 256 + r32 * c32 * 1024 + 2 * r16 * c16 * 64
-             + 2 * r32 * c32 * 256)
+    ncoef = r16 * c16 * 256 + 2 * r16 * c16 * 64  # union layout
     return r16 * c16, r32 * c32, ncoef
 
 

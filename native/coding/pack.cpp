@@ -491,19 +491,21 @@ struct GridsPart {
     const int16_t *split = nullptr;    // (brows32 x bcols32), nonzero = split
     int bcols = 0, brows = 0;          // 16px block grid
     int bcols32 = 0, brows32 = 0;
-    size_t word_base[6];               // section word offsets
-    std::vector<uint32_t> voff[6];     // per-block value offsets per section
+    size_t word_base[3];               // section word offsets
+    std::vector<uint32_t> voff[3];     // per-block value offsets per section
     int32_t sy[256], su[64], sv[64];
     int32_t sy32[1024], su16[256], sv16[256];
     bool zy, zu, zv;
 
+    // union layout: three sections only (y16 | u8 | v8); 32x32 / chroma-16
+    // winners live in their region's four slots as raster quadrants
     void build_offsets() {
-        int nb16 = bcols * brows, nb32 = bcols32 * brows32;
-        const int nblocks[6] = {nb16, nb32, nb16, nb16, nb32, nb32};
-        const int wper[6] = {16, 64, 4, 4, 16, 16};
+        int nb16 = bcols * brows;
+        const int nblocks[3] = {nb16, nb16, nb16};
+        const int wper[3] = {16, 4, 4};
         uint32_t acc = 0;
         size_t word = 0;
-        for (int s = 0; s < 6; s++) {
+        for (int s = 0; s < 3; s++) {
             word_base[s] = word;
             voff[s].resize(nblocks[s]);
             for (int b = 0; b < nblocks[s]; b++) {
@@ -539,14 +541,29 @@ struct GridsPart {
     void load16(int by, int bx) {
         int b = by * bcols + bx;
         zy = !expand_sect(0, b, 16, sy);
-        zu = !expand_sect(2, b, 4, su);
-        zv = !expand_sect(3, b, 4, sv);
+        zu = !expand_sect(1, b, 4, su);
+        zv = !expand_sect(2, b, 4, sv);
     }
     void load32(int by32, int bx32) {
-        int b = by32 * bcols32 + bx32;
-        zy = !expand_sect(1, b, 64, sy32);
-        zu = !expand_sect(4, b, 16, su16);
-        zv = !expand_sect(5, b, 16, sv16);
+        // reassemble the 2x2 raster quadrants from the region's 16-slots
+        int32_t tmp[256];
+        zy = zu = zv = true;
+        for (int qr = 0; qr < 2; qr++)
+            for (int qc = 0; qc < 2; qc++) {
+                int b = (by32 * 2 + qr) * bcols + bx32 * 2 + qc;
+                if (expand_sect(0, b, 16, tmp)) zy = false;
+                for (int i = 0; i < 16; i++)
+                    memcpy(&sy32[(qr * 16 + i) * 32 + qc * 16], &tmp[i * 16],
+                           16 * sizeof(int32_t));
+                if (expand_sect(1, b, 4, tmp)) zu = false;
+                for (int i = 0; i < 8; i++)
+                    memcpy(&su16[(qr * 8 + i) * 16 + qc * 8], &tmp[i * 8],
+                           8 * sizeof(int32_t));
+                if (expand_sect(2, b, 4, tmp)) zv = false;
+                for (int i = 0; i < 8; i++)
+                    memcpy(&sv16[(qr * 8 + i) * 16 + qc * 8], &tmp[i * 8],
+                           8 * sizeof(int32_t));
+            }
     }
 };
 

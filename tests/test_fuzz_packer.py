@@ -21,6 +21,80 @@ pytestmark = pytest.mark.skipif(not os.path.exists(LIB),
                                 reason="libav1pack not built")
 
 
+class FuzzPartPlanner(FixedPartitionPlanner):
+    """Arbitrary split map + grids through the engine (quadrant union
+    layout, as the TPU transport stores it)."""
+
+    def __init__(self, ly, lu, lv, modes16, modes32, split):
+        super().__init__(leaf_bsize=6, y_mode=V_PRED, uv_mode=V_PRED)
+        self.grids = (ly, lu, lv)
+        self.m16, self.m32, self.split_grid = modes16, modes32, split
+
+    def partition_choice(self, tc, r, c, bsize):
+        if bsize > 9:
+            return 3  # SPLIT
+        if bsize == 9:
+            return 3 if self.split_grid[r // 8, c // 8] else 0
+        return 0
+
+    def modes(self, tc, r, c, bsize):
+        if bsize == 9:
+            return int(self.m32[r // 8, c // 8]), V_PRED
+        return int(self.m16[r // 4, c // 4]), V_PRED
+
+    def quantize(self, tc, coefs_f, plane, tx, dc_q, ac_q, shift, x=0, y=0):
+        n = coefs_f.shape[0]
+        g = self.grids[plane]
+        ns = 16 if plane == 0 else 8  # slot size
+        if n == ns:  # 16-block (or 8x8 chroma): direct slot
+            return g[y // ns, x // ns].astype(np.int64)
+        # 32-block (16x16 chroma): reassemble 2x2 quadrants from slots
+        out = np.zeros((n, n), np.int64)
+        for qr in range(2):
+            for qc in range(2):
+                out[qr * ns : qr * ns + ns, qc * ns : qc * ns + ns] = \
+                    g[y // ns + qr, x // ns + qc]
+        return out
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_partition_packer(seed):
+    from av1tpu.coding import Packer
+    from av1tpu.spec import encode_frame as ef2
+
+    rng = np.random.RandomState(1000 + seed)
+    rows, cols = 2, 3
+    w, h = cols * 64, rows * 64
+    density = rng.choice([0.01, 0.2, 0.9])
+    maxmag = int(rng.choice([2, 30, 900]))
+    q = int(rng.choice([20, 100, 230]))
+    ly, lu, lv = _random_grids(rng, rows * 4, cols * 4, density, maxmag)
+    m16 = rng.choice([1, 3, 8], size=(rows * 4, cols * 4)).astype(np.int16)
+    m32 = rng.choice([1, 3, 8], size=(rows * 2, cols * 2)).astype(np.int16)
+    split = rng.choice([0, 1], size=(rows * 2, cols * 2)).astype(np.int16)
+
+    cfg = ef2.EncoderConfig(base_q_idx=q)
+    seq = ef2.make_sequence_header(w, h, cfg)
+    fh = ef2.make_frame_header(seq, cfg)
+    src = [np.zeros((h, w), np.int32), np.zeros((h // 2, w // 2), np.int32),
+           np.zeros((h // 2, w // 2), np.int32)]
+    recon = [np.zeros_like(p) for p in src]
+    coder = EncCoder(disable_cdf_update=bool(fh.disable_cdf_update))
+    TileCoder(seq, fh, coder, recon, source=src,
+              planner=FuzzPartPlanner(ly, lu, lv, m16, m32,
+                                      split)).code_tile()
+    py_tile = coder.done()
+
+    flat = np.concatenate([ly.ravel(), lu.ravel(), lv.ravel()])
+    sig = flat != 0
+    bitmap = (sig.reshape(-1, 16).astype(np.uint16)
+              << np.arange(16, dtype=np.uint16)).sum(1).astype(np.uint16)
+    vals = flat[sig].astype(np.int16)
+    cpp = Packer().pack_tile_part(bitmap, vals, m16.ravel(), m32.ravel(),
+                                  split.ravel(), h, w, q)
+    assert cpp == py_tile
+
+
 class FuzzPlanner(FixedPartitionPlanner):
     """Feeds arbitrary level grids + modes through the spec engine."""
 

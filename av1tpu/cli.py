@@ -41,7 +41,8 @@ def _pad_plane(a: np.ndarray, h: int, w: int) -> np.ndarray:
 
 def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                 target_quality: float = 0.0, metric: str = "vmaf",
-                partitions: bool = True) -> tuple[list[bytes], dict]:
+                partitions: bool = True,
+                scene_threshold: float = 2.5) -> tuple[list[bytes], dict]:
     """Encode every frame of a Clip as an AV1 keyframe TU.  With
     target_quality > 0, a per-chunk CQ bisection picks the coarsest qindex
     whose first-frame score meets the target (av1an --target-quality
@@ -59,6 +60,8 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
         encode_intra_v_chunk, fuse_planes, split_compact,
     )
 
+    from av1tpu.core.scenes import scene_scores, split_scenes
+
     width, height = clip.width, clip.height
     bd = clip.bit_depth
     cw = (width + 63) & ~63
@@ -71,8 +74,22 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
     scores: list[float] = []
     psnrs: list[float] = []
 
-    for base in range(0, n, chunk):
-        k = min(chunk, n - base)
+    # scene-aligned segments (the reference's av1an scene split): q is
+    # selected once per scene, so CQ adapts at cuts instead of every chunk
+    if n > 1:
+        sc = np.asarray(scene_scores(
+            jax.numpy.asarray(clip.y.astype(np.int32) >> (bd - 8))))
+        segments = split_scenes(sc, threshold=scene_threshold,
+                                min_len=chunk, max_len=240)
+    else:
+        segments = [(0, n)]
+
+    plan: list[tuple[int, int, bool]] = []  # (base, k, is_scene_start)
+    for s0, e0 in segments:
+        for base in range(s0, e0, chunk):
+            plan.append((base, min(chunk, e0 - base), base == s0))
+
+    for base, k, scene_start in plan:
         planes = [
             (_pad_plane(clip.y[base + i].astype(np.int32), ch, cw),
              _pad_plane(clip.u[base + i].astype(np.int32), ch // 2, cw // 2),
@@ -83,22 +100,24 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             fused = np.concatenate(
                 [fused, np.repeat(fused[-1:], chunk - k, axis=0)])
 
-        yj = jax.numpy.asarray(planes[0][0])
-        uj = jax.numpy.asarray(planes[0][1])
-        vj = jax.numpy.asarray(planes[0][2])
-        if target_quality > 0:
-            q, score = cq_search(yj, uj, vj, target_quality, metric=metric,
-                                 bit_depth=bd, partitions=partitions)
-        else:
-            q = qindex
-            score = float(probe_quality(yj, uj, vj, jax.numpy.int32(q),
-                                        metric=metric, bit_depth=bd,
-                                        partitions=partitions))
+        if scene_start or not q_used:
+            yj = jax.numpy.asarray(planes[0][0])
+            uj = jax.numpy.asarray(planes[0][1])
+            vj = jax.numpy.asarray(planes[0][2])
+            if target_quality > 0:
+                q, score = cq_search(yj, uj, vj, target_quality,
+                                     metric=metric, bit_depth=bd,
+                                     partitions=partitions)
+            else:
+                q = qindex
+                score = float(probe_quality(yj, uj, vj, jax.numpy.int32(q),
+                                            metric=metric, bit_depth=bd,
+                                            partitions=partitions))
+            scores.append(score)
+            psnrs.append(float(probe_quality(yj, uj, vj, jax.numpy.int32(q),
+                                             metric="psnr", bit_depth=bd,
+                                             partitions=partitions)))
         q_used.append(q)
-        scores.append(score)
-        psnrs.append(float(probe_quality(yj, uj, vj, jax.numpy.int32(q),
-                                         metric="psnr", bit_depth=bd,
-                                         partitions=partitions)))
 
         if partitions:
             bufs = np.asarray(
@@ -133,6 +152,7 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
         "width": width,
         "height": height,
         "qindex": round(sum(q_used) / len(q_used), 1),
+        "scenes": len(segments),
         "psnr_y": round(sum(psnrs) / len(psnrs), 3),
         metric if metric != "psnr" else "metric_score":
             round(sum(scores) / len(scores), 3),
@@ -192,7 +212,8 @@ def cmd_encode(args) -> int:
         streams, stats = encode_clip(clip, args.qindex, chunk=args.chunk,
                                      target_quality=args.target_quality,
                                      metric=args.metric,
-                                     partitions=args.preset == "quality")
+                                     partitions=args.preset == "quality",
+                                     scene_threshold=args.scene_threshold)
         write_ivf(args.output, streams, clip.width, clip.height)
     stats["output"] = args.output
     print(json.dumps(stats))
@@ -217,6 +238,9 @@ def main(argv=None) -> int:
                           "score on --metric (0 = fixed --qindex)")
     enc.add_argument("--metric", choices=("vmaf", "ssim", "psnr"),
                      default="vmaf")
+    enc.add_argument("--scene-threshold", type=float, default=2.5,
+                     help="scene-cut score threshold (chunking for "
+                          "per-scene CQ)")
     enc.add_argument("--preset", choices=("fast", "quality"),
                      default="quality",
                      help="fast: fixed 16x16 grid (max fps); quality: "

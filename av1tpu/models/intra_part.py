@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from av1tpu.models.intra_v import (
-    _RDO_MODES, _UR_MASK, _directional_pred, _plane_params,
+    _RDO_MODES, _UR_MASK, _directional_pred, _plane_params, quantize_coefs,
 )
 from av1tpu.ops.transforms_jax import forward_matrix, inverse_transform
 
@@ -81,8 +81,7 @@ def _mode_rdo(blocks, ae, consts):
     blocks_r = jnp.tile(blocks, (nm, 1, 1))
     resid = (blocks_r - preds).reshape(nm * cols, n * n).astype(jnp.float32)
     coefs = resid @ fwd.T
-    lv_all = jnp.clip(jnp.round(coefs / step_eff).astype(jnp.int32),
-                      -cap, cap)
+    lv_all = quantize_coefs(coefs, step_eff, cap)
     dist = (jnp.sum((coefs - lv_all * step_eff) ** 2, axis=1)
             / _RATIO[n]).reshape(nm, -1)
     alv = jnp.abs(lv_all.astype(jnp.float32))
@@ -145,8 +144,7 @@ def _encode_luma_part(src, qindex, bit_depth: int = 8):
         pred = jnp.full((16, 16), edge_val, jnp.int32)
         resid = (block - pred).reshape(1, 256).astype(jnp.float32)
         coefs = resid @ fwd16.T
-        lv = jnp.clip(jnp.round(coefs / step16).astype(jnp.int32),
-                      -cap16, cap16).reshape(16, 16)
+        lv = quantize_coefs(coefs, step16, cap16).reshape(16, 16)
         rec = _recon16(lv[None], pred[None], q16, pix_max)[0]
         return rec[0, 15], (lv, rec)
 
@@ -240,7 +238,7 @@ def _encode_chroma_dual(src, split, qindex, bit_depth: int = 8):
         b = blocks.shape[0]
         resid = (blocks - pred).reshape(b, n * n).astype(jnp.float32)
         coefs = resid @ fwd.T
-        lv = jnp.clip(jnp.round(coefs / step).astype(jnp.int32), -cap, cap)
+        lv = quantize_coefs(coefs, step, cap)
         r = inverse_transform((lv * q).reshape(b, n, n), n, n, tt)
         return lv.reshape(b, n, n), jnp.clip(pred + r, 0, pix_max)
 

@@ -10,8 +10,9 @@ from av1tpu.ops.transforms_jax import forward_matrix
 
 
 def _reference(resid, fwdt, step, q, cap):
+    from av1tpu.models.intra_v import quantize_coefs
     coefs = resid @ fwdt
-    lv = jnp.clip(jnp.round(coefs / step).astype(jnp.int32), -cap, cap)
+    lv = quantize_coefs(coefs, step, cap)
     return lv.astype(jnp.int16), lv * q
 
 

@@ -50,8 +50,7 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
     Returns (per-frame OBU streams, stats)."""
     import jax
 
-    from av1tpu.coding import Packer, encode_keyframe_tpu
-    from av1tpu.metrics.quality import psnr
+    from av1tpu.coding import Packer
     from av1tpu.models.cq import cq_search, probe_quality
     from av1tpu.models.intra_part import (
         encode_intra_part_chunk, split_compact_part,

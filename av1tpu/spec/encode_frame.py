@@ -11,8 +11,6 @@ import dataclasses
 
 import numpy as np
 
-from av1tpu.utils.yuv import Clip
-
 from .bits import BitWriter
 from .cdf_state import DecCoder, EncCoder
 from .enums import BLOCK_16X16

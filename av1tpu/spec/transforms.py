@@ -23,7 +23,7 @@ import numpy as np
 from .enums import (
     ADST_ADST, ADST_DCT, DCT_ADST, DCT_DCT, DCT_FLIPADST, FLIPADST_ADST,
     FLIPADST_DCT, FLIPADST_FLIPADST, ADST_FLIPADST, H_ADST, H_DCT,
-    H_FLIPADST, IDTX, TX_H, TX_W, V_ADST, V_DCT, V_FLIPADST,
+    H_FLIPADST, IDTX, V_ADST, V_DCT, V_FLIPADST,
 )
 
 # 12-bit cosine table: cos128(i) = round(cos(i*pi/128) * 4096) (spec cos128)

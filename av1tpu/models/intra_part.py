@@ -124,7 +124,7 @@ def _encode_luma_part(src, qindex, bit_depth: int = 8):
     step16, q16, cap16 = _plane_params(qindex, 16, bit_depth)
     step32, q32, cap32 = _plane_params(qindex, 32, bit_depth)
     ac = step16[1]
-    lam_pix = (ac * ac * 0.047).astype(jnp.float32)
+    lam_pix = (ac * ac * 0.0234).astype(jnp.float32)
     c16 = (16, fwd16, step16, cap16, lam_pix)
     c32 = (32, fwd32, step32 * 0.5, cap32, lam_pix)  # dequant shift 1
 

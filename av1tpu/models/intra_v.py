@@ -197,9 +197,9 @@ def _encode_plane_rdo(src, qindex, n: int, base: int, bit_depth: int = 8):
     # 6.4x pixel-SSE for this transform scaling, measured), so mode selection
     # needs no inverse transform per candidate: cost = D_coef + lambda * R.
     # lambda ~ Qstep^2 as in classic RDO, calibrated on the BD-rate clip
-    # (swept on the BD-rate clip; 0.3 minimizes BD-rate).
+    # (swept on the BD-rate clip with the deadzone active; 0.15 minimizes).
     ac = step[1]
-    lam = (ac * ac * 0.3).astype(jnp.float32)
+    lam = (ac * ac * 0.15).astype(jnp.float32)
 
     src_rows = src.reshape(rows, n, cols, n).transpose(0, 2, 1, 3)
     avail = jnp.asarray(_avail_ur_grid(rows, cols))

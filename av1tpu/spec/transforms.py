@@ -375,8 +375,89 @@ def _apply_1d(kind: str, vec, n: int):
     raise ValueError(kind)
 
 
+def _brev(v: int, bits: int) -> int:
+    out = 0
+    for _ in range(bits):
+        out = (out << 1) | (v & 1)
+        v >>= 1
+    return out
+
+
+def _idct_odd(x, n: int):
+    """Odd half of the recursive inverse DCT: consumes the N odd-indexed
+    inputs of a 2N-point transform, returns z[0..N-1] such that
+    out[i] = even[i] + z[N-1-i], out[N+i] = even[N-1-i] - z[i].
+
+    The butterfly network is the generalization of the explicit idct8/16/32
+    ladders above (validated to reproduce them value-for-value); idct64 is
+    the same recursion one doubling further."""
+    m = n  # odd-part length
+    bits = int(np.log2(m))
+    # stage 1: bit-reversed odd input selection
+    a = [x[..., 2 * _brev(k, bits) + 1] for k in range(m)]
+    # stage 2: input rotations, pairs (k, m-1-k), angle 2*brev+1 scaled
+    s = [None] * m
+    for k in range(m // 2):
+        a2 = (32 // m) * (2 * _brev(k, bits) + 1)
+        lo, hi = a[k], a[m - 1 - k]
+        s[k] = _half_btf(cos128(64 - a2), lo, -cos128(a2), hi)
+        s[m - 1 - k] = _half_btf(cos128(a2), lo, cos128(64 - a2), hi)
+    a = s
+    # alternating butterfly / rotation stages, group size doubling
+    g = 4
+    while g <= m:
+        h = g // 2
+        b = [None] * m
+        for base in range(0, m, g):
+            for i in range(h // 2):
+                lo, hi = a[base + i], a[base + h - 1 - i]
+                b[base + i] = lo + hi
+                b[base + h - 1 - i] = lo - hi
+                lo2, hi2 = a[base + h + i], a[base + g - 1 - i]
+                b[base + h + i] = -lo2 + hi2
+                b[base + g - 1 - i] = lo2 + hi2
+        a = b
+        c = list(a)
+        if g == m:  # final rotation, all angle 32
+            for i in range(m // 4, m // 2):
+                lo, hi = a[i], a[m - 1 - i]
+                c[i] = _half_btf(-cospi(32), lo, cospi(32), hi)
+                c[m - 1 - i] = _half_btf(cospi(32), lo, cospi(32), hi)
+        else:
+            a_base = 32 * g // m
+            blk_bits = bits - int(np.log2(2 * g)) + 1
+            for i in range(m // 2):
+                r = i % g
+                j = i // g
+                aa = a_base * (2 * _brev(j, blk_bits) + 1)
+                bb = 64 - aa
+                lo, hi = a[i], a[m - 1 - i]
+                if g // 4 <= r < g // 2:       # role 1
+                    c[i] = _half_btf(-cospi(aa), lo, cospi(bb), hi)
+                    c[m - 1 - i] = _half_btf(cospi(bb), lo, cospi(aa), hi)
+                elif g // 2 <= r < 3 * g // 4:  # role 2
+                    c[i] = _half_btf(-cospi(bb), lo, -cospi(aa), hi)
+                    c[m - 1 - i] = _half_btf(-cospi(aa), lo, cospi(bb), hi)
+        a = c
+        g *= 2
+    return a
+
+
+def idct_generic(x, size: int):
+    """Recursive inverse DCT via the generic odd ladder (any power of 2)."""
+    if size == 4:
+        return idct4(x)
+    half = size // 2
+    e = {4: idct4, 8: idct8, 16: idct16, 32: idct32}.get(half)
+    e = e(x[..., 0::2]) if e else idct_generic(x[..., 0::2], half)
+    z = _idct_odd(x, half)
+    o = [e[..., i] + z[half - 1 - i] for i in range(half)] + \
+        [e[..., half - 1 - i] - z[i] for i in range(half)]
+    return np.stack(o, axis=-1)
+
+
 def idct64(x):
-    raise NotImplementedError("idct64 pending (64-point transforms)")
+    return idct_generic(x, 64)
 
 
 def inverse_transform_2d(coefs: np.ndarray, tx_type: int) -> np.ndarray:

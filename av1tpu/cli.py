@@ -126,12 +126,12 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                 encode_intra_v_chunk(jax.device_put(fused), q, ch, cw))
         for i in range(k):
             if partitions:
-                count, bm, vals, m16, m32, sp = split_compact_part(
-                    bufs[i], ch, cw)
+                (count, bm, vals, m16, m32, sp,
+                 sp64) = split_compact_part(bufs[i], ch, cw)
                 if count > len(vals):
                     raise RuntimeError("compact capacity exceeded")
                 tile = packer.pack_tile_part(bm, vals, m16, m32, sp,
-                                             ch, cw, q)
+                                             sp64, ch, cw, q)
             else:
                 count, bm, vals, modes = split_compact(bufs[i], ch, cw)
                 if count > len(vals):

@@ -32,7 +32,7 @@ class Packer:
         f3 = self._lib.pack_tile_v3
         f3.restype = ctypes.c_size_t
         f3.argtypes = [ctypes.POINTER(ctypes.c_uint16)] + \
-                      [ctypes.POINTER(ctypes.c_int16)] * 4 + \
+                      [ctypes.POINTER(ctypes.c_int16)] * 5 + \
                       [ctypes.c_int] * 4 + \
                       [ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t]
         self._fn3 = f3
@@ -97,14 +97,14 @@ class Packer:
 
     def pack_tile_part(self, bitmap: np.ndarray, vals: np.ndarray,
                        modes16: np.ndarray, modes32: np.ndarray,
-                       split: np.ndarray, height: int, width: int,
-                       qindex: int,
+                       split: np.ndarray, split64: np.ndarray,
+                       height: int, width: int, qindex: int,
                        disable_cdf_update: bool = False) -> bytes:
         """Pack from the partition-RDO compact form (intra_part layout)."""
         i16p = ctypes.POINTER(ctypes.c_int16)
         bm = np.ascontiguousarray(bitmap, np.uint16)
         arrs = [np.ascontiguousarray(a, np.int16)
-                for a in (vals, modes16, modes32, split)]
+                for a in (vals, modes16, modes32, split, split64)]
         cap = height * width * 8 + 65536
         out = (ctypes.c_uint8 * cap)()
         n = self._fn3(bm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),

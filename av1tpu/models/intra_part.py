@@ -32,8 +32,23 @@ from av1tpu.models.intra_v import (
 )
 from av1tpu.ops.transforms_jax import forward_matrix, inverse_transform
 
-_RATIO = {16: 6.4, 32: 1.51}
+_RATIO = {16: 6.4, 32: 1.51, 64: 1.51}  # 64 shares the shift-(2,4) scaling
 _SPLIT_OVERHEAD_BITS = 12.0  # extra signaling of 4 blocks vs 1
+
+
+@functools.cache
+def _fwd64() -> np.ndarray:
+    """Forward transform for TX_64X64 as a (1024, 4096) float32 matrix:
+    pseudo-inverse of the integer inverse linearized over the 1024 coded
+    (top-left 32x32) coefficients — the only ones the bitstream carries."""
+    from av1tpu.spec.transforms import idct64, round2
+    units = np.zeros((1024, 64, 64), np.int64)
+    idx = np.arange(1024)
+    units[idx, idx // 32, idx % 32] = 1 << 12  # scale for rounding fidelity
+    t = round2(idct64(units), 2)
+    t = round2(idct64(np.swapaxes(t, -1, -2)), 4)
+    pixels = np.swapaxes(t, -1, -2).reshape(1024, 4096) / (1 << 12)
+    return np.linalg.pinv(pixels.T).astype(np.float32)
 
 
 def _avail16_grid(rows: int, cols: int) -> np.ndarray:
@@ -192,34 +207,138 @@ def _encode_luma_part(src, qindex, bit_depth: int = 8):
                       .reshape(2, cols16, 16, 16))
         rec16_pair = jnp.stack([rec_t, rec_b])
         rec = jnp.where(s4[None, :, None, None], rec16_pair, rec32_as16)
+        # exact pixel-domain cost of the SELECTED coding per region, so the
+        # 64x64 comparison (whose distortion is also pixel-exact) is fair
+        blocks_pair = jnp.stack([blocks16_t, blocks16_b])
+        d_sel = jnp.sum((rec - blocks_pair) ** 2,
+                        axis=(0, 2, 3)).astype(jnp.float32)
+        d_region = d_sel.reshape(cols32, 2).sum(1)
+        a16 = jnp.abs(jnp.stack([lv_t, lv_b]).astype(jnp.float32))
+        r16 = jnp.sum(jnp.where(a16 > 0, 2.0, 0.0) + jnp.log2(1.0 + a16),
+                      axis=(0, 2, 3)).reshape(cols32, 2).sum(1)
+        a32 = jnp.abs(lv32.astype(jnp.float32))
+        r32 = jnp.sum(jnp.where(a32 > 0, 2.0, 0.0) + jnp.log2(1.0 + a32),
+                      axis=(1, 2))
+        cost_region = d_region + lam_pix * (r16 + r32)
         return carry, {"lv16": jnp.stack([lv_t, lv_b]),
                        "modes16": jnp.stack([modes_t, modes_b]),
                        "rec": rec, "split": split, "lv32": lv32,
-                       "modes32": modes32}
+                       "modes32": modes32, "cost": cost_region}
 
-    if rows32 > 1:
-        xs = (src16[2::2], src16[3::2], src32[1:],
-              av16[2::2], av16[3::2], av32[1:])
-        carry0 = rec_r0b[:, 15, :].reshape(-1)
-        _, rest = jax.lax.scan(row32_step, carry0, xs)
-        out = {k: jnp.concatenate([row0[k][None], rest[k]], axis=0)
-               for k in row0}
+    # ---- third level: one 64x64 V_PRED candidate per superblock ----
+    cols64 = cols32 // 2
+    rows64 = rows32 // 2
+    f64 = jnp.asarray(_fwd64())
+    # 1024 coded coefficients, dc at [0]: reuse the 32x32-shaped quantizer
+    # rows; effective step is q/4 (TX_64X64 dequant shift 2)
+    step64_base, q64, cap64 = _plane_params(qindex, 32, bit_depth)
+    step64 = step64_base * 0.25
+    src64 = src.reshape(rows64, 64, cols64, 64).transpose(0, 2, 1, 3)
+    # above-right of a 64 block = the next SB at the fully-decoded row above
+    av64_np = np.zeros((rows64, cols64), np.bool_)
+    av64_np[1:, : cols64 - 1] = True
+    av64 = jnp.asarray(av64_np)
+
+    def sb_step(bottom, xs):
+        xs_a, xs_b, blocks64, av6 = xs
+        c1, o1 = row32_step(bottom, xs_a)
+        c2, o2 = row32_step(c1, xs_b)
+
+        ae64 = _edges(bottom, av6, 64, cols64)
+        pred64 = jnp.repeat(ae64[:, None, :64], 64, axis=1)
+        resid = (blocks64 - pred64).reshape(cols64, 4096).astype(jnp.float32)
+        coefs = resid @ f64.T                      # (cols64, 1024)
+        lv64 = quantize_coefs(coefs, step64, cap64)
+        dq = jnp.sign(lv64) * ((jnp.abs(lv64) * q64) >> 2)
+        full = jnp.zeros((cols64, 64, 64), jnp.int32).at[
+            :, :32, :32].set(dq.reshape(cols64, 32, 32))
+        rec64 = jnp.clip(pred64 + inverse_transform(full, 64, 64, 0),
+                         0, pix_max)
+        # 64 distortion must be pixel-domain: the truncated high frequencies
+        # are invisible in the coefficient domain
+        d64 = jnp.sum((rec64 - blocks64) ** 2,
+                      axis=(1, 2)).astype(jnp.float32)
+        alv = jnp.abs(lv64.astype(jnp.float32))
+        r64 = jnp.sum(jnp.where(alv > 0, 2.0, 0.0) + jnp.log2(1.0 + alv),
+                      axis=1)
+        cost64 = d64 + lam_pix * r64
+        cost_sub = (o1["cost"].reshape(cols64, 2).sum(1)
+                    + o2["cost"].reshape(cols64, 2).sum(1)
+                    + lam_pix * _SPLIT_OVERHEAD_BITS)
+        split64 = cost_sub < cost64                # (cols64,) True = split
+
+        lv64 = jnp.where(split64[:, None], 0, lv64).astype(jnp.int16)
+        # zero the sub-level grids where the 64 wins
+        k2 = jnp.repeat(split64, 2)                # per 32-region
+        k4 = jnp.repeat(split64, 4)                # per 16-col
+        outs = {}
+        for idx, o in enumerate((o1, o2)):
+            o = dict(o)
+            o["lv16"] = jnp.where(k4[None, :, None, None], o["lv16"], 0)
+            o["lv32"] = jnp.where(k2[:, None, None], o["lv32"], 0)
+            o["split"] = o["split"] & k2
+            outs[idx] = o
+        # carry + recon rows from the winner
+        bot_sub = c2.reshape(cols64, 64)
+        carry = jnp.where(split64[:, None], bot_sub,
+                          rec64[:, 63, :]).reshape(-1)
+        rec64_as16 = (rec64.reshape(cols64, 4, 16, 4, 16)
+                      .transpose(1, 0, 3, 2, 4).reshape(4, cols16, 16, 16))
+        rec_sub = jnp.concatenate([outs[0]["rec"], outs[1]["rec"]], axis=0)
+        rec = jnp.where(k4[None, :, None, None], rec_sub, rec64_as16)
+        ys = {"lv16": jnp.concatenate([outs[0]["lv16"], outs[1]["lv16"]]),
+              "modes16": jnp.concatenate([outs[0]["modes16"],
+                                          outs[1]["modes16"]]),
+              "rec": rec,
+              "split": jnp.stack([outs[0]["split"], outs[1]["split"]]),
+              "lv32": jnp.stack([outs[0]["lv32"], outs[1]["lv32"]]),
+              "modes32": jnp.stack([outs[0]["modes32"],
+                                    outs[1]["modes32"]]),
+              "lv64": lv64, "split64": split64}
+        return carry, ys
+
+    # SB row 0: frame row 0 forces splitting; no 64 candidate
+    carry0 = rec_r0b[:, 15, :].reshape(-1)
+    xs_r1 = (src16[2], src16[3], src32[1], av16[2], av16[3], av32[1])
+    c_r1, o_r1 = row32_step(carry0, xs_r1)
+    sb0 = {"lv16": jnp.concatenate([row0["lv16"], o_r1["lv16"]]),
+           "modes16": jnp.concatenate([row0["modes16"], o_r1["modes16"]]),
+           "rec": jnp.concatenate([row0["rec"], o_r1["rec"]]),
+           "split": jnp.stack([row0["split"], o_r1["split"]]),
+           "lv32": jnp.stack([row0["lv32"], o_r1["lv32"]]),
+           "modes32": jnp.stack([row0["modes32"], o_r1["modes32"]]),
+           "lv64": jnp.zeros((cols64, 1024), jnp.int16),
+           "split64": jnp.ones((cols64,), bool)}
+
+    if rows64 > 1:
+        xs = (
+            (src16[4::4], src16[5::4], src32[2::2],
+             av16[4::4], av16[5::4], av32[2::2]),
+            (src16[6::4], src16[7::4], src32[3::2],
+             av16[6::4], av16[7::4], av32[3::2]),
+            src64[1:], av64[1:],
+        )
+        _, rest = jax.lax.scan(sb_step, c_r1, xs)
+        out = {k: jnp.concatenate([sb0[k][None], rest[k]], axis=0)
+               for k in sb0}
     else:
-        out = {k: v[None] for k, v in row0.items()}
+        out = {k: v[None] for k, v in sb0.items()}
 
     lv16 = out["lv16"].reshape(rows16, cols16, 16, 16)
     modes16 = out["modes16"].reshape(rows16, cols16)
-    recon = (out["rec"].reshape(rows32, 2, cols16, 16, 16)
+    recon = (out["rec"].reshape(rows64, 4, cols16, 16, 16)
              .transpose(0, 1, 3, 2, 4).reshape(h, w))
-    return (lv16, out["lv32"], modes16, out["modes32"], out["split"],
-            recon)
+    return (lv16, out["lv32"].reshape(rows32, cols32, 32, 32),
+            modes16, out["modes32"].reshape(rows32, cols32),
+            out["split"].reshape(rows32, cols32), recon,
+            out["lv64"].reshape(rows64, cols64, 32, 32), out["split64"])
 
 
-def _encode_chroma_dual(src, split, qindex, bit_depth: int = 8):
-    """Chroma plane with size dictated by the luma split grid: 8x8 blocks
-    (two rows per region, DCT... ADST_DCT at 8) where split, one 16x16
-    ADST_DCT block where not.  Returns (lv8 (r8,c8,8,8) i16,
-    lv16 (r16c,c16c,16,16) i16, recon)."""
+def _encode_chroma_dual(src, split, split64, qindex, bit_depth: int = 8):
+    """Chroma plane with size dictated by the luma partition grids: 8x8
+    blocks where a 32-region split, a 16x16 ADST_DCT block where a 32 won,
+    and a 32x32 DCT block where the 64 won.  Returns (lv8, lv16, recon,
+    lv32)."""
     h, w = src.shape
     rows8, cols8 = h // 8, w // 8
     rows16c, cols16c = h // 16, w // 16  # == rows32, cols32 of luma
@@ -282,19 +401,71 @@ def _encode_chroma_dual(src, split, qindex, bit_depth: int = 8):
         return carry, {"lv8": jnp.stack([lv8_t, lv8_b]).astype(jnp.int16),
                        "lv16": lv16.astype(jnp.int16), "rec": rec}
 
-    if rows16c > 1:
-        xs = (src8[2::2], src8[3::2], src16[1:], split[1:])
-        carry0 = rec8_0b[:, 7, :].reshape(-1)
-        _, rest = jax.lax.scan(row16_step, carry0, xs)
-        out = {k: jnp.concatenate([row0[k][None], rest[k]], axis=0)
-               for k in row0}
+    # ---- third level: one 32x32 DCT chroma block where the luma chose 64
+    cols32c = w // 32              # == cols64 of luma
+    rows32c = h // 32              # == rows64
+    fwd32 = jnp.asarray(forward_matrix(32, 32, 0))  # chroma 32: derived DCT
+    step32b, q32, cap32 = _plane_params(qindex, 32, bit_depth)
+    step32 = step32b * 0.5         # dequant shift 1
+    src32 = src.reshape(rows32c, 32, cols32c, 32).transpose(0, 2, 1, 3)
+
+    def chroma_sb_step(bottom, xs):
+        xs_a, xs_b, blocks32, sp64 = xs
+        c1, o1 = row16_step(bottom, xs_a)
+        c2, o2 = row16_step(c1, xs_b)
+        pred32 = jnp.repeat(bottom.reshape(cols32c, 1, 32), 32, axis=1)
+        resid = (blocks32 - pred32).reshape(cols32c, 1024).astype(
+            jnp.float32)
+        coefs = resid @ fwd32.T
+        lv32 = quantize_coefs(coefs, step32, cap32)
+        dq = jnp.sign(lv32) * ((jnp.abs(lv32) * q32) >> 1)
+        rec32 = jnp.clip(
+            pred32 + inverse_transform(dq.reshape(cols32c, 32, 32),
+                                       32, 32, 0), 0, pix_max)
+        k2 = jnp.repeat(sp64, 2)   # per 16c-region
+        k4 = jnp.repeat(sp64, 4)   # per 8-col
+        outs = []
+        for o in (o1, o2):
+            o = dict(o)
+            o["lv8"] = jnp.where(k4[None, :, None, None], o["lv8"], 0)
+            o["lv16"] = jnp.where(k2[:, None, None], o["lv16"], 0)
+            outs.append(o)
+        lv32 = jnp.where(sp64[:, None], 0, lv32).astype(jnp.int16)
+        bot_sub = c2.reshape(cols32c, 32)
+        carry = jnp.where(sp64[:, None], bot_sub,
+                          rec32[:, 31, :]).reshape(-1)
+        rec32_as8 = (rec32.reshape(cols32c, 4, 8, 4, 8)
+                     .transpose(1, 0, 3, 2, 4).reshape(4, cols8, 8, 8))
+        rec_sub = jnp.concatenate([outs[0]["rec"], outs[1]["rec"]], axis=0)
+        rec = jnp.where(k4[None, :, None, None], rec_sub, rec32_as8)
+        return carry, {
+            "lv8": jnp.concatenate([outs[0]["lv8"], outs[1]["lv8"]]),
+            "lv16": jnp.stack([outs[0]["lv16"], outs[1]["lv16"]]),
+            "rec": rec, "lv32": lv32}
+
+    # SB row 0 (no 64): frame chroma row 0 special + one normal 16c-row
+    carry0 = rec8_0b[:, 7, :].reshape(-1)
+    c_r1, o_r1 = row16_step(carry0, (src8[2], src8[3], src16[1], split[1]))
+    sb0 = {"lv8": jnp.concatenate([row0["lv8"], o_r1["lv8"]]),
+           "lv16": jnp.stack([row0["lv16"], o_r1["lv16"]]),
+           "rec": jnp.concatenate([row0["rec"], o_r1["rec"]]),
+           "lv32": jnp.zeros((cols32c, 1024), jnp.int16)}
+
+    if rows32c > 1:
+        xs = ((src8[4::4], src8[5::4], src16[2::2], split[2::2]),
+              (src8[6::4], src8[7::4], src16[3::2], split[3::2]),
+              src32[1:], split64[1:])
+        _, rest = jax.lax.scan(chroma_sb_step, c_r1, xs)
+        out = {k: jnp.concatenate([sb0[k][None], rest[k]], axis=0)
+               for k in sb0}
     else:
-        out = {k: v[None] for k, v in row0.items()}
+        out = {k: v[None] for k, v in sb0.items()}
 
     lv8 = out["lv8"].reshape(rows8, cols8, 8, 8)
-    recon = (out["rec"].reshape(rows16c, 2, cols8, 8, 8)
+    recon = (out["rec"].reshape(rows32c, 4, cols8, 8, 8)
              .transpose(0, 1, 3, 2, 4).reshape(h, w))
-    return lv8, out["lv16"], recon
+    return (lv8, out["lv16"].reshape(rows16c, cols16c, 16, 16), recon,
+            out["lv32"].reshape(rows32c, cols32c, 32, 32))
 
 
 @functools.partial(jax.jit,
@@ -317,10 +488,14 @@ def encode_intra_part_compact(frame_u8, qindex, height: int, width: int,
     # scattered into the losing branch's zeroed 16x16 (8x8) grid slots as
     # raster quadrants, so the transport is exactly the fast path's size +
     # the tiny meta arrays.  The split map tells the packer how to read.
-    flat = jnp.concatenate([
-        _merge_quads(o["levels_y16"], o["levels_y32"], 16).reshape(-1),
-        _merge_quads(o["levels_u8"], o["levels_u16"], 8).reshape(-1),
-        _merge_quads(o["levels_v8"], o["levels_v16"], 8).reshape(-1)])
+    y16 = _merge_quads(o["levels_y16"], o["levels_y32"], 16)
+    y16 = _embed64(y16, o["levels_y64"])
+    u8 = _merge_quads(o["levels_u8"], o["levels_u16"], 8)
+    u8 = _merge_tiles4(u8, o["levels_u32"], 8)
+    v8 = _merge_quads(o["levels_v8"], o["levels_v16"], 8)
+    v8 = _merge_tiles4(v8, o["levels_v32"], 8)
+    flat = jnp.concatenate([y16.reshape(-1), u8.reshape(-1),
+                            v8.reshape(-1)])
     sig = flat != 0
     m = sig.shape[0]
     bits = sig.reshape(m // 16, 16).astype(jnp.uint16)
@@ -335,7 +510,8 @@ def encode_intra_part_compact(frame_u8, qindex, height: int, width: int,
         head, jax.lax.bitcast_convert_type(bitmap, jnp.int16), vals,
         o["modes16"].reshape(-1).astype(jnp.int16),
         o["modes32"].reshape(-1).astype(jnp.int16),
-        o["split"].reshape(-1).astype(jnp.int16)])
+        o["split"].reshape(-1).astype(jnp.int16),
+        o["split64"].reshape(-1).astype(jnp.int16)])
 
 
 @functools.partial(jax.jit,
@@ -360,24 +536,46 @@ def _merge_quads(small, big, n: int):
     return small + quads
 
 
+def _embed64(y16, lv64):
+    """Scatter each SB's 64-winner coded 32x32 as 2x2 quadrants into the
+    SB's top-left 16-slots (the rest of the SB's slots are zero)."""
+    rb, cb = lv64.shape[:2]
+    quads = (lv64.reshape(rb, cb, 2, 16, 2, 16)
+             .transpose(0, 2, 1, 4, 3, 5))          # (rb, 2, cb, 2, 16, 16)
+    emb = jnp.zeros((rb, 4, cb, 4, 16, 16), lv64.dtype)
+    emb = emb.at[:, :2, :, :2].set(quads)
+    return y16 + emb.reshape(rb * 4, cb * 4, 16, 16)
+
+
+def _merge_tiles4(small, big, n: int):
+    """Scatter (rb, cb, 4n, 4n) winner blocks as a 4x4 grid of n x n tiles
+    into the zeroed (rb*4, cb*4, n, n) slot grid."""
+    rb, cb = big.shape[:2]
+    tiles = (big.reshape(rb, cb, 4, n, 4, n)
+             .transpose(0, 2, 1, 4, 3, 5).reshape(rb * 4, cb * 4, n, n))
+    return small + tiles
+
+
 def part_sizes(height: int, width: int):
     r16, c16 = height // 16, width // 16
     r32, c32 = height // 32, width // 32
+    r64, c64 = height // 64, width // 64
     ncoef = r16 * c16 * 256 + 2 * r16 * c16 * 64  # union layout
-    return r16 * c16, r32 * c32, ncoef
+    return r16 * c16, r32 * c32, r64 * c64, ncoef
 
 
 def split_compact_part(buf: np.ndarray, height: int, width: int):
-    """Host split: (count, bitmap u16, vals i16, modes16, modes32, split)."""
-    nb16, nb32, ncoef = part_sizes(height, width)
+    """Host split: (count, bitmap u16, vals i16, modes16, modes32, split,
+    split64)."""
+    nb16, nb32, nb64, ncoef = part_sizes(height, width)
     nwords = ncoef // 16
     count = int(buf[0]) | (int(buf[1]) << 15)
     bitmap = buf[2 : 2 + nwords].view(np.uint16)
-    tail = nb16 + 2 * nb32
+    tail = nb16 + 2 * nb32 + nb64
     vals = buf[2 + nwords : len(buf) - tail]
     meta = buf[len(buf) - tail :]
     return (count, bitmap, vals, meta[:nb16], meta[nb16 : nb16 + nb32],
-            meta[nb16 + nb32 :])
+            meta[nb16 + nb32 : nb16 + 2 * nb32], meta[nb16 + 2 * nb32 :])
 
 
 @functools.partial(jax.jit, static_argnames=("bit_depth",))
@@ -385,12 +583,15 @@ def encode_intra_part(y, u, v, qindex, bit_depth: int = 8):
     """Full-frame intra encode with 32/16 partition RDO.  Dims must be
     64-multiples.  Returns level grids per size, modes, split map and
     reconstructions."""
-    ly16, ly32, m16, m32, split, ry = _encode_luma_part(y, qindex,
-                                                        bit_depth)
-    lu8, lu16, ru = _encode_chroma_dual(u, split, qindex, bit_depth)
-    lv8, lv16c, rv = _encode_chroma_dual(v, split, qindex, bit_depth)
-    return {"levels_y16": ly16, "levels_y32": ly32,
-            "modes16": m16, "modes32": m32, "split": split,
-            "levels_u8": lu8, "levels_u16": lu16,
-            "levels_v8": lv8, "levels_v16": lv16c,
+    (ly16, ly32, m16, m32, split, ry,
+     ly64, split64) = _encode_luma_part(y, qindex, bit_depth)
+    lu8, lu16, ru, lu32 = _encode_chroma_dual(u, split, split64, qindex,
+                                              bit_depth)
+    lv8, lv16c, rv, lv32c = _encode_chroma_dual(v, split, split64, qindex,
+                                                bit_depth)
+    return {"levels_y16": ly16, "levels_y32": ly32, "levels_y64": ly64,
+            "modes16": m16, "modes32": m32,
+            "split": split, "split64": split64,
+            "levels_u8": lu8, "levels_u16": lu16, "levels_u32": lu32,
+            "levels_v8": lv8, "levels_v16": lv16c, "levels_v32": lv32c,
             "recon_y": ry, "recon_u": ru, "recon_v": rv}

@@ -249,13 +249,77 @@ def iadst16(x):
         axis=-1)
 
 
+def _brev(v: int, bits: int) -> int:
+    out = 0
+    for _ in range(bits):
+        out = (out << 1) | (v & 1)
+        v >>= 1
+    return out
+
+
+def idct64(x):
+    """64-point inverse DCT via the generic odd-half recursion (see
+    av1tpu/spec/transforms.py idct_generic; validated against dav1d through
+    64x64-block conformance streams)."""
+    e = idct32(x[..., 0::2])
+    m, bits = 32, 5
+    a = [x[..., 2 * _brev(k, bits) + 1] for k in range(m)]
+    s = [None] * m
+    for k in range(m // 2):
+        a2 = (32 // m) * (2 * _brev(k, bits) + 1)
+        lo, hi = a[k], a[m - 1 - k]
+        s[k] = _btf(_c128(64 - a2), lo, -_c128(a2), hi)
+        s[m - 1 - k] = _btf(_c128(a2), lo, _c128(64 - a2), hi)
+    a = s
+    g = 4
+    while g <= m:
+        h = g // 2
+        b = [None] * m
+        for base in range(0, m, g):
+            for i in range(h // 2):
+                lo, hi = a[base + i], a[base + h - 1 - i]
+                b[base + i] = lo + hi
+                b[base + h - 1 - i] = lo - hi
+                lo2, hi2 = a[base + h + i], a[base + g - 1 - i]
+                b[base + h + i] = -lo2 + hi2
+                b[base + g - 1 - i] = lo2 + hi2
+        a = b
+        c = list(a)
+        if g == m:
+            for i in range(m // 4, m // 2):
+                lo, hi = a[i], a[m - 1 - i]
+                c[i] = _btf(-COS[32], lo, COS[32], hi)
+                c[m - 1 - i] = _btf(COS[32], lo, COS[32], hi)
+        else:
+            a_base = 32 * g // m
+            blk_bits = bits - int(np.log2(2 * g)) + 1
+            for i in range(m // 2):
+                r = i % g
+                j = i // g
+                aa = a_base * (2 * _brev(j, blk_bits) + 1)
+                bb = 64 - aa
+                lo, hi = a[i], a[m - 1 - i]
+                if g // 4 <= r < g // 2:
+                    c[i] = _btf(-COS[aa], lo, COS[bb], hi)
+                    c[m - 1 - i] = _btf(COS[bb], lo, COS[aa], hi)
+                elif g // 2 <= r < 3 * g // 4:
+                    c[i] = _btf(-COS[bb], lo, -COS[aa], hi)
+                    c[m - 1 - i] = _btf(-COS[aa], lo, COS[bb], hi)
+        a = c
+        g *= 2
+    o = [e[..., i] + a[m - 1 - i] for i in range(m)] + \
+        [e[..., m - 1 - i] - a[i] for i in range(m)]
+    return jnp.stack(o, axis=-1)
+
+
 _1D = {("d", 4): idct4, ("d", 8): idct8, ("d", 16): idct16,
-       ("d", 32): idct32, ("a", 8): iadst8, ("a", 16): iadst16}
+       ("d", 32): idct32, ("d", 64): idct64,
+       ("a", 8): iadst8, ("a", 16): iadst16}
 
 # (vertical kind, horizontal kind) for the tx types the pipeline emits
 _TX_KIND = {0: ("d", "d"), 1: ("a", "d"), 2: ("d", "a")}
 
-_ROW_SHIFT = {(4, 4): 0, (8, 8): 1, (16, 16): 2, (32, 32): 2}
+_ROW_SHIFT = {(4, 4): 0, (8, 8): 1, (16, 16): 2, (32, 32): 2, (64, 64): 2}
 
 
 def inverse_transform(coefs, w: int, h: int, tx_type: int = 0):

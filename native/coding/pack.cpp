@@ -279,11 +279,14 @@ static int compute_eob(const int32_t *lv, const int32_t *scan, int ncoef) {
 }
 
 static void code_coeffs(Tile &T, int plane, int x, int y, int n,
-                        const int32_t *lv, int tx_type_sym, int y_mode) {
-    // n = tx dim (8/16/32); square txs only; block size == tx size
-    int txs = n == 32 ? 3 : (n == 16 ? 2 : 1);
+                        const int32_t *lv, int tx_type_sym, int y_mode,
+                        int n_ctx = 0) {
+    // n = coded dim (8/16/32); n_ctx = tx dim (== n except TX_64X64 luma,
+    // where the tx is 64 but only the top-left 32x32 is coded)
+    if (!n_ctx) n_ctx = n;
+    int txs = n_ctx == 64 ? 4 : (n == 32 ? 3 : (n == 16 ? 2 : 1));
     int ptype = plane ? 1 : 0;
-    int x4 = x >> 2, y4 = y >> 2, w4 = n >> 2;
+    int x4 = x >> 2, y4 = y >> 2, w4 = n_ctx >> 2;
     const int32_t *scan = n == 32 ? &scan_32_32[0]
                          : (n == 16 ? &scan_16_16[0] : &scan_8_8[0]);
     int ncoef = n * n;
@@ -310,7 +313,7 @@ static void code_coeffs(Tile &T, int plane, int x, int y, int n,
         }
         return;
     }
-    if (plane == 0 && n == 16) {
+    if (plane == 0 && n == 16 && n_ctx == 16) {
         // tx type, intra set 2 (16x16), cdf indexed by [tx_sqr][y mode];
         // 32x32 is tx-set 0 (DCT only, no symbol), chroma types are derived
         T.co.sym(T.ext_tx2[2][y_mode], tx_type_sym);
@@ -489,12 +492,15 @@ struct GridsPart {
     const int16_t *modes16 = nullptr;  // (brows16 x bcols16)
     const int16_t *modes32 = nullptr;  // (brows32 x bcols32)
     const int16_t *split = nullptr;    // (brows32 x bcols32), nonzero = split
+    const int16_t *split64 = nullptr;  // (brows64 x bcols64)
     int bcols = 0, brows = 0;          // 16px block grid
     int bcols32 = 0, brows32 = 0;
+    int bcols64 = 0, brows64 = 0;
     size_t word_base[3];               // section word offsets
     std::vector<uint32_t> voff[3];     // per-block value offsets per section
     int32_t sy[256], su[64], sv[64];
     int32_t sy32[1024], su16[256], sv16[256];
+    int32_t su32[1024], sv32[1024];
     bool zy, zu, zv;
 
     // union layout: three sections only (y16 | u8 | v8); 32x32 / chroma-16
@@ -544,6 +550,33 @@ struct GridsPart {
         zu = !expand_sect(1, b, 4, su);
         zv = !expand_sect(2, b, 4, sv);
     }
+    void load64(int by64, int bx64) {
+        // luma: coded 32x32 = 2x2 quadrants in the SB's top-left 16-slots;
+        // chroma: 32x32 = the SB's 4x4 grid of 8-slots
+        int32_t tmp[256];
+        zy = zu = zv = true;
+        for (int qr = 0; qr < 2; qr++)
+            for (int qc = 0; qc < 2; qc++) {
+                int b = (by64 * 4 + qr) * bcols + bx64 * 4 + qc;
+                if (expand_sect(0, b, 16, tmp)) zy = false;
+                for (int i = 0; i < 16; i++)
+                    memcpy(&sy32[(qr * 16 + i) * 32 + qc * 16], &tmp[i * 16],
+                           16 * sizeof(int32_t));
+            }
+        for (int tr = 0; tr < 4; tr++)
+            for (int tc2 = 0; tc2 < 4; tc2++) {
+                int b = (by64 * 4 + tr) * bcols + bx64 * 4 + tc2;
+                if (expand_sect(1, b, 4, tmp)) zu = false;
+                for (int i = 0; i < 8; i++)
+                    memcpy(&su32[(tr * 8 + i) * 32 + tc2 * 8], &tmp[i * 8],
+                           8 * sizeof(int32_t));
+                if (expand_sect(2, b, 4, tmp)) zv = false;
+                for (int i = 0; i < 8; i++)
+                    memcpy(&sv32[(tr * 8 + i) * 32 + tc2 * 8], &tmp[i * 8],
+                           8 * sizeof(int32_t));
+            }
+    }
+
     void load32(int by32, int bx32) {
         // reassemble the 2x2 raster quadrants from the region's 16-slots
         int32_t tmp[256];
@@ -586,7 +619,8 @@ static void code_block_common(Tile &T, int r, int c, int n, int mode,
     T.co.sym(T.kf_y[am][lm], mode);
     if (mode >= 1 && mode <= 8)           // directional: angle delta 0
         T.co.sym(T.angle_delta[mode - 1], 3);
-    T.co.sym(T.uv_mode[1][mode], 1);      // uv V_PRED (cfl allowed ctx)
+    int cfl_allowed = n <= 32;            // spec: w,h <= 32
+    T.co.sym(T.uv_mode[cfl_allowed][mode], 1);  // uv V_PRED
     T.co.sym(T.angle_delta[0], 3);        // uv delta 0
 
     for (int i = 0; i < mi; i++) {
@@ -597,7 +631,9 @@ static void code_block_common(Tile &T, int r, int c, int n, int mode,
     }
 
     if (!skip) {
-        code_coeffs(T, 0, c * 4, r * 4, n, ly, 1, mode);
+        // TX_64X64 luma codes a 32x32 area; its chroma is one 32x32 DCT
+        int nly = n == 64 ? 32 : n;
+        code_coeffs(T, 0, c * 4, r * 4, nly, ly, 1, mode, n);
         code_coeffs(T, 1, c * 2, r * 2, n / 2, lu, 0, 0);
         code_coeffs(T, 2, c * 2, r * 2, n / 2, lvp, 0, 0);
     } else {
@@ -611,7 +647,7 @@ static void code_block_common(Tile &T, int r, int c, int n, int mode,
             }
         }
     }
-    int lg = n == 32 ? 3 : 2;
+    int lg = n == 64 ? 4 : (n == 32 ? 3 : 2);
     T.update_part_ctx(r, c, mi, mi, lg, lg);
 }
 
@@ -628,6 +664,17 @@ static void code_partition_part(Tile &T, GridsPart &G, int r, int c,
                                 int bsl) {
     if (r >= T.mi_rows || c >= T.mi_cols) return;
     int ctx = (bsl - 1) * 4 + T.part_ctx(r, c, bsl);
+    if (bsl == 4) {
+        int by64 = r / 16, bx64 = c / 16;
+        size_t reg = (size_t)by64 * G.bcols64 + bx64;
+        if (!G.split64[reg]) {
+            T.co.sym(T.partition[ctx], 0);  // NONE -> one 64x64 block
+            G.load64(by64, bx64);
+            code_block_common(T, r, c, 64, 1, G.sy32, G.su32, G.sv32,
+                              G.zy, G.zu, G.zv);
+            return;
+        }
+    }
     if (bsl == 2) {
         T.co.sym(T.partition[ctx], 0);  // NONE
         int by = r / 4, bx = c / 4;
@@ -703,7 +750,7 @@ size_t pack_tile_v1(const int32_t *ly, const int32_t *lu, const int32_t *lv,
 // partition-aware input (32/16 mixed; see av1tpu/models/intra_part.py)
 size_t pack_tile_v3(const uint16_t *bitmap, const int16_t *vals,
                     const int16_t *modes16, const int16_t *modes32,
-                    const int16_t *split,
+                    const int16_t *split, const int16_t *split64,
                     int mi_rows, int mi_cols, int qindex, int disable_update,
                     uint8_t *out, size_t cap) {
     Tile T;
@@ -712,8 +759,10 @@ size_t pack_tile_v3(const uint16_t *bitmap, const int16_t *vals,
     GridsPart G;
     G.bitmap = bitmap; G.vals = vals;
     G.modes16 = modes16; G.modes32 = modes32; G.split = split;
+    G.split64 = split64;
     G.bcols = mi_cols / 4; G.brows = mi_rows / 4;
     G.bcols32 = mi_cols / 8; G.brows32 = mi_rows / 8;
+    G.bcols64 = mi_cols / 16; G.brows64 = mi_rows / 16;
     G.build_offsets();
     for (int r = 0; r < mi_rows; r += 16)
         for (int c = 0; c < mi_cols; c += 16)

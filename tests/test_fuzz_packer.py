@@ -90,8 +90,9 @@ def test_fuzz_partition_packer(seed):
     bitmap = (sig.reshape(-1, 16).astype(np.uint16)
               << np.arange(16, dtype=np.uint16)).sum(1).astype(np.uint16)
     vals = flat[sig].astype(np.int16)
+    split64 = np.ones((rows, cols), np.int16)  # always split to 32-level
     cpp = Packer().pack_tile_part(bitmap, vals, m16.ravel(), m32.ravel(),
-                                  split.ravel(), h, w, q)
+                                  split.ravel(), split64.ravel(), h, w, q)
     assert cpp == py_tile
 
 

@@ -30,27 +30,35 @@ class PartGridPlanner(FixedPartitionPlanner):
 
     def partition_choice(self, tc, r, c, bsize):
         if bsize > BLOCK_32X32:
-            return PARTITION_SPLIT
+            return (PARTITION_SPLIT if self.out["split64"][r // 16, c // 16]
+                    else PARTITION_NONE)
         if bsize == BLOCK_32X32:
             return (PARTITION_SPLIT if self.out["split"][r // 8, c // 8]
                     else PARTITION_NONE)
         return PARTITION_NONE
 
     def modes(self, tc, r, c, bsize):
+        if bsize > BLOCK_32X32:
+            return V_PRED, V_PRED   # 64 candidates are V_PRED only
         if bsize == BLOCK_32X32:
             return int(self.out["modes32"][r // 8, c // 8]), V_PRED
         return int(self.out["modes16"][r // 4, c // 4]), V_PRED
 
     def quantize(self, tc, coefs_f, plane, tx, dc_q, ac_q, shift, x=0, y=0):
         if plane == 0:
-            g = (self.out["levels_y32"], 32) if shift else \
-                (self.out["levels_y16"], 16)
+            grid, n = {2: (self.out["levels_y64"], 64),
+                       1: (self.out["levels_y32"], 32),
+                       0: (self.out["levels_y16"], 16)}[shift]
         else:
             key = "levels_u" if plane == 1 else "levels_v"
-            n = coefs_f.shape[0]
-            g = (self.out[f"{key}{n}"], n)
-        grid, n = g
-        return grid[y // n, x // n].astype(np.int64)
+            n = coefs_f.shape[0] if coefs_f.shape[0] != 32 else 32
+            grid = self.out[f"{key}{n}"]
+        lv = grid[y // n, x // n].astype(np.int64)
+        if n == 64:  # coded 32x32 area scattered back into the 64x64 grid
+            full = np.zeros((64, 64), np.int64)
+            full[:32, :32] = lv
+            return full
+        return lv
 
 
 @pytest.mark.parametrize("q", [60, 120])
@@ -85,11 +93,14 @@ def test_partition_packer_matches_engine(q):
 
     buf = np.asarray(encode_intra_part_compact(
         fuse_planes(y, u, v), q, h, w, cap=32768))
-    count, bm, vals, m16, m32, split = split_compact_part(buf, h, w)
+    count, bm, vals, m16, m32, split, split64 = split_compact_part(buf, h, w)
     assert count <= len(vals)
     assert np.array_equal(split.reshape(out["split"].shape),
                           out["split"].astype(np.int16))
-    cpp_tile = Packer().pack_tile_part(bm, vals, m16, m32, split, h, w, q)
+    assert np.array_equal(split64.reshape(out["split64"].shape),
+                          out["split64"].astype(np.int16))
+    cpp_tile = Packer().pack_tile_part(bm, vals, m16, m32, split, split64,
+                                       h, w, q)
     assert cpp_tile == py_tile
 
 

@@ -4,9 +4,10 @@
 Measures end-to-end 1080p AV1 intra encode fps on the attached TPU chip:
 fused uint8 source upload -> TPU encode (prediction/transform/quant, jitted)
 -> compact level fetch (significance bitmap + nonzero values; ~0.7 MB/frame
-instead of 6.3 MB dense) -> C++ entropy pack into a conformant tile.  A
-prefetch thread overlaps the TPU round-trip of frame i+1 with the host pack
-of frame i.
+instead of 6.3 MB dense) -> C++ entropy pack into a conformant tile, using
+the production default quality preset (64/32/16 partition RDO).  The loop
+is serial: on this single-core host the transfers are CPU-bound, so thread
+overlap was measured to hurt rather than help.
 
 qindex is calibrated so recon PSNR-Y matches the SVT-AV1 preset-6 CRF-30
 baseline (41.8 dB) on the same synthetic clip; the baseline fps (3.751,
@@ -17,7 +18,6 @@ tools/make_baseline.py.
 import json
 import os
 import time
-from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -37,9 +37,10 @@ def main():
     import jax
 
     from av1tpu.coding import Packer
-    from av1tpu.models.intra_v import (
-        encode_intra_v_chunk, fuse_planes, split_compact,
+    from av1tpu.models.intra_part import (
+        encode_intra_part_chunk, split_compact_part,
     )
+    from av1tpu.models.intra_v import fuse_planes
     from av1tpu.utils import synthetic_clip
 
     h, w = 1088, 1920
@@ -54,26 +55,25 @@ def main():
 
     def roundtrip(c):
         """Upload a source chunk, run the TPU encode, fetch compact levels."""
-        return np.asarray(encode_intra_v_chunk(jax.device_put(c), QINDEX, h, w))
+        return np.asarray(
+            encode_intra_part_chunk(jax.device_put(c), QINDEX, h, w))
 
     # warm up (compile)
-    count, bm, vals, modes = split_compact(roundtrip(chunk)[0], h, w)
+    count, bm, vals, m16, m32, sp, sp64 = split_compact_part(
+        roundtrip(chunk)[0], h, w)
     assert count <= len(vals), "compact value capacity exceeded"
-    packer.pack_tile_compact(bm, vals, h, w, QINDEX, modes=modes)
+    packer.pack_tile_part(bm, vals, m16, m32, sp, sp64, h, w, QINDEX)
 
     total_bytes = 0
-    pool = ThreadPoolExecutor(max_workers=1)
     start = time.perf_counter()
-    pending = pool.submit(roundtrip, chunk)
     for i in range(0, FRAMES, k):
-        bufs = pending.result()
-        if i + k < FRAMES:
-            pending = pool.submit(roundtrip, chunk)
+        bufs = roundtrip(chunk)
         for buf in bufs:
-            count, bm, vals, modes = split_compact(buf, h, w)
+            (count, bm, vals, m16, m32,
+             sp, sp64) = split_compact_part(buf, h, w)
             assert count <= len(vals)
-            tile = packer.pack_tile_compact(bm, vals, h, w, QINDEX,
-                                            modes=modes)
+            tile = packer.pack_tile_part(bm, vals, m16, m32, sp, sp64,
+                                         h, w, QINDEX)
             total_bytes += len(tile)
     dt = time.perf_counter() - start
     fps = FRAMES / dt

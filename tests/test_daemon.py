@@ -203,6 +203,31 @@ def test_hardware_flag_rejected_at_startup(tmp_path, fixtures):
     assert "nvenc" in r.stdout + r.stderr
 
 
+def test_concurrent_jobs_run_in_parallel(tmp_path, fixtures):
+    """max_concurrent_jobs=2: two slow encodes must overlap (wall time well
+    under 2x the single-job time), mirroring the reference's semaphore
+    contention tests (job_executor.rs:655-692)."""
+    lib = tmp_path / "library"
+    lib.mkdir()
+    shutil.copy(fixtures["mkv"], lib / "a.webrip.mkv")
+    shutil.copy(fixtures["mkv"], lib / "b.webrip.mkv")
+    cfg = _write_config(tmp_path, lib, fixtures)
+    text = open(cfg).read().replace(
+        "[cpu]\nlogical_cores = 2",
+        "[cpu]\nlogical_cores = 2\n[av1an]\nmax_concurrent_jobs = 2")
+    # each fake encode sleeps 2s; serial would take >= 4s
+    text = text.replace(f"cp {fixtures['ivf']}",
+                        f"sleep 2; cp {fixtures['ivf']}")
+    open(cfg, "w").write(text)
+
+    t0 = time.time()
+    r = _run_once(cfg)
+    wall = time.time() - t0
+    assert "completed=2 failed=0" in r.stdout
+    assert wall < 3.8, f"jobs did not overlap: {wall:.1f}s"
+    assert (lib / "a.webrip.ivf").exists() and (lib / "b.webrip.ivf").exists()
+
+
 def test_metrics_endpoint(tmp_path, fixtures):
     lib = tmp_path / "library"
     lib.mkdir()

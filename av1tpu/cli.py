@@ -208,7 +208,22 @@ def cmd_encode(args) -> int:
             clip.y = clip.y[: args.max_frames]
             clip.u = clip.u[: args.max_frames]
             clip.v = clip.v[: args.max_frames]
+        # live per-chunk progress lines (consumed by the daemon's
+        # run_encode to drive the TUI Progress/FPS/ETA columns — the
+        # reference never wired these, drift #5)
+        t_start = time.perf_counter()
+
+        def _progress(done: int, total: int) -> None:
+            dt = time.perf_counter() - t_start
+            print(json.dumps({
+                "progress": round(done / total, 4),
+                "frames_encoded": done,
+                "total_frames": total,
+                "fps": round(done / dt, 2) if dt > 0 else 0.0,
+            }), flush=True)
+
         streams, stats = encode_clip(clip, args.qindex, chunk=args.chunk,
+                                     progress=_progress,
                                      target_quality=args.target_quality,
                                      metric=args.metric,
                                      partitions=args.preset == "quality",

@@ -124,6 +124,8 @@ bool Config::parse_toml(const std::string &text, std::string *err) {
     } else if (is("tpu.encode_cmd")) {
       if (!parse_string(val, &tpu.encode_cmd)) return fail("expected string");
     } else if (is("tpu.qindex")) tpu.qindex = (int)strtol(val.c_str(), &e, 10);
+    else if (is("tpu.encode_timeout_secs"))
+      tpu.encode_timeout_secs = (int)strtol(val.c_str(), &e, 10);
     // unknown keys: ignored (forward compatibility)
     if (e && e == val.c_str()) return fail("expected number for " + full);
     return true;

@@ -50,6 +50,10 @@ struct GatesConfig {
 struct TpuConfig {  // rebuild-specific: the encode plane
   std::string encode_cmd;  // command template; empty = built-in default
   int qindex = 72;
+  // per-job encode deadline; the backend process group is killed and the
+  // job marked Failed when exceeded (0 = no timeout).  Fixes the
+  // stuck-encoder hole SURVEY §5 flags in the reference.
+  int encode_timeout_secs = 21600;
 };
 
 struct Config {

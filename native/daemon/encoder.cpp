@@ -1,5 +1,12 @@
 #include "encoder.h"
 
+#include <errno.h>
+#include <poll.h>
+#include <signal.h>
+#include <sys/wait.h>
+#include <time.h>
+#include <unistd.h>
+
 #include <algorithm>
 #include <cstdio>
 #include <cstdlib>
@@ -7,6 +14,12 @@
 #include "json.h"
 
 namespace av1d {
+
+static double now_monotonic() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return ts.tv_sec + ts.tv_nsec * 1e-9;
+}
 
 std::string default_encode_cmd() {
   return "python3 -m av1tpu.cli encode -i {input} -o {output} "
@@ -53,34 +66,108 @@ bool command_has_hardware_flags(const std::string &cmd, std::string *flag) {
   return false;
 }
 
-EncodeResult run_encode(const std::string &cmd) {
+// Parse one stdout line: progress event, stats record, or neither.
+static void handle_line(const std::string &line,
+                        std::string *last_stats_line,
+                        const ProgressFn &on_progress) {
+  if (line.empty() || line[0] != '{') return;
+  bool ok = false;
+  JsonPtr j = Json::parse(line, &ok);
+  if (!ok || !j || j->type != Json::OBJ) return;
+  if (auto p = j->get("progress")) {
+    if (on_progress) {
+      EncodeProgress ev;
+      ev.progress = p->as_num();
+      if (auto v = j->get("frames_encoded"))
+        ev.frames_encoded = (uint64_t)v->as_num();
+      if (auto v = j->get("total_frames"))
+        ev.total_frames = (uint64_t)v->as_num();
+      if (auto v = j->get("fps")) ev.fps = v->as_num();
+      on_progress(ev);
+    }
+    return;
+  }
+  *last_stats_line = line;
+}
+
+EncodeResult run_encode(const std::string &cmd, int timeout_secs,
+                        const ProgressFn &on_progress) {
   EncodeResult r;
-  FILE *p = popen(cmd.c_str(), "r");
-  if (!p) {
+  int pipefd[2];
+  if (pipe(pipefd) != 0) {
+    r.error = "failed to create encoder pipe";
+    return r;
+  }
+  pid_t pid = fork();
+  if (pid < 0) {
+    close(pipefd[0]);
+    close(pipefd[1]);
     r.error = "failed to spawn encoder";
     return r;
   }
-  std::string out;
+  if (pid == 0) {
+    // child: own process group so a timeout can kill the whole backend
+    // tree (python + any helpers), not just the shell
+    setpgid(0, 0);
+    dup2(pipefd[1], STDOUT_FILENO);
+    close(pipefd[0]);
+    close(pipefd[1]);
+    execl("/bin/sh", "sh", "-c", cmd.c_str(), (char *)nullptr);
+    _exit(127);
+  }
+  setpgid(pid, pid);  // also from the parent (race-free either way)
+  close(pipefd[1]);
+
+  std::string pending, last_stats;
   char buf[4096];
-  size_t n;
-  while ((n = fread(buf, 1, sizeof buf, p)) > 0) out.append(buf, n);
-  int rc = pclose(p);
-  r.exit_code = rc >= 0 ? (rc >> 8) : -1;
-  if (rc < 0 || (rc & 0x7F)) {
-    r.error = "encoder terminated abnormally";
+  const double deadline =
+      timeout_secs > 0 ? now_monotonic() + timeout_secs : 0;
+  bool timed_out = false;
+  for (;;) {
+    struct pollfd pfd = {pipefd[0], POLLIN, 0};
+    int pr = poll(&pfd, 1, 500);
+    if (pr > 0) {
+      ssize_t n = read(pipefd[0], buf, sizeof buf);
+      if (n <= 0) break;  // EOF (or error): encoder closed stdout
+      pending.append(buf, (size_t)n);
+      size_t nl;
+      while ((nl = pending.find('\n')) != std::string::npos) {
+        std::string line = pending.substr(0, nl);
+        if (!line.empty() && line.back() == '\r') line.pop_back();
+        pending.erase(0, nl + 1);
+        handle_line(line, &last_stats, on_progress);
+      }
+    }
+    if (deadline > 0 && now_monotonic() > deadline) {
+      timed_out = true;
+      kill(-pid, SIGKILL);
+      break;
+    }
+  }
+  close(pipefd[0]);
+  if (!pending.empty()) handle_line(pending, &last_stats, on_progress);
+
+  int status = 0;
+  while (waitpid(pid, &status, 0) < 0 && errno == EINTR) {
+  }
+  if (timed_out) {
+    r.error = "encoder timed out after " + std::to_string(timeout_secs) +
+              "s (process group killed)";
     return r;
   }
+  if (WIFSIGNALED(status)) {
+    r.error = "encoder terminated abnormally (signal " +
+              std::to_string(WTERMSIG(status)) + ")";
+    return r;
+  }
+  r.exit_code = WIFEXITED(status) ? WEXITSTATUS(status) : -1;
   if (r.exit_code != 0) {
     r.error = "encoder exited with status " + std::to_string(r.exit_code);
     return r;
   }
-  // last nonempty line should be the JSON stats record
-  size_t end = out.find_last_not_of("\r\n ");
-  if (end != std::string::npos) {
-    size_t start = out.find_last_of('\n', end);
-    start = start == std::string::npos ? 0 : start + 1;
+  if (!last_stats.empty()) {
     bool ok = false;
-    JsonPtr j = Json::parse(out.substr(start, end - start + 1), &ok);
+    JsonPtr j = Json::parse(last_stats, &ok);
     if (ok && j && j->type == Json::OBJ) {
       if (auto v = j->get("psnr_y")) r.psnr_y = v->as_num();
       if (auto v = j->get("vmaf")) r.vmaf = v->as_num();

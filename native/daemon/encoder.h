@@ -9,6 +9,8 @@
 // actually enforced here rather than stubbed).
 #pragma once
 
+#include <cstdint>
+#include <functional>
 #include <string>
 #include <vector>
 
@@ -44,8 +46,24 @@ struct EncodeResult {
   int64_t frames = 0;
 };
 
-// run via popen, blocking; captures stdout and parses the trailing JSON
-// stats line the av1tpu CLI prints
-EncodeResult run_encode(const std::string &cmd);
+// live progress event, parsed from per-chunk JSON lines the av1tpu CLI
+// prints (any stdout line that is a JSON object with a "progress" key);
+// fixes reference drift #5 where Progress/FPS/ETA never moved
+// (reference job_executor.rs:117-137 hardcodes them to 0)
+struct EncodeProgress {
+  double progress = 0;  // 0..1
+  uint64_t frames_encoded = 0;
+  uint64_t total_frames = 0;
+  double fps = 0;
+};
+using ProgressFn = std::function<void(const EncodeProgress &)>;
+
+// Runs the encoder in its own process group, streaming stdout line by line:
+// JSON lines with a "progress" key fire on_progress as they arrive; the
+// last other JSON object line is the final stats record.  timeout_secs > 0
+// kills the whole process group when exceeded (stuck-encoder recovery —
+// the hole SURVEY §5 flags in the reference).
+EncodeResult run_encode(const std::string &cmd, int timeout_secs = 0,
+                        const ProgressFn &on_progress = nullptr);
 
 }  // namespace av1d

@@ -145,7 +145,23 @@ void JobExecutor::execute(Job job) {
     fs::remove_all(chunks, ec);
     return;
   }
-  EncodeResult er = run_encode(cmd);
+  EncodeResult er =
+      run_encode(cmd, cfg_.tpu.encode_timeout_secs,
+                 [&](const EncodeProgress &p) {
+                   metrics_->update([&](MetricsSnapshot *s) {
+                     for (auto &m : s->jobs)
+                       if (m.id == job.id) {
+                         m.progress = p.progress;
+                         m.fps = p.fps;
+                         m.frames_encoded = p.frames_encoded;
+                         m.total_frames = p.total_frames;
+                         if (p.fps > 0 && p.total_frames > p.frames_encoded)
+                           m.est_remaining_secs =
+                               (p.total_frames - p.frames_encoded) / p.fps;
+                         return;
+                       }
+                   });
+                 });
   if (!er.ok) {
     fail(er.error);
     fs::remove_all(chunks, ec);

@@ -228,6 +228,79 @@ def test_concurrent_jobs_run_in_parallel(tmp_path, fixtures):
     assert (lib / "a.webrip.ivf").exists() and (lib / "b.webrip.ivf").exists()
 
 
+def test_encode_timeout_kills_stuck_job(tmp_path, fixtures):
+    """[tpu].encode_timeout_secs: a hung encoder backend is killed (whole
+    process group) and the job marked failed, freeing the worker slot —
+    fixes the stuck-encoder hole SURVEY §5 flags in the reference."""
+    lib = tmp_path / "library"
+    lib.mkdir()
+    shutil.copy(fixtures["mkv"], lib / "stuck.mkv")
+    cfg = _write_config(tmp_path, lib, fixtures,
+                        extra="encode_timeout_secs = 2")
+    text = open(cfg).read().replace(
+        f"cp {fixtures['ivf']} {{output}}; ", "sleep 300; : ")
+    open(cfg, "w").write(text)
+
+    t0 = time.time()
+    r = _run_once(cfg)
+    wall = time.time() - t0
+    assert "failed=1" in r.stdout, r.stdout + r.stderr
+    assert wall < 60, f"timeout did not fire: {wall:.1f}s"
+    assert (lib / "stuck.mkv").exists()  # original untouched
+    jobs = [json.loads(p.read_text())
+            for p in (tmp_path / "jobs").glob("*.json")]
+    assert jobs[0]["status"] == "failed"
+    assert "timed out" in jobs[0]["error"]
+
+
+def test_live_progress_updates_metrics(tmp_path, fixtures):
+    """Progress lines printed by the encode backend must surface in
+    /metrics while the encode is still running (reference drift #5: its
+    Progress/FPS columns never moved)."""
+    lib = tmp_path / "library"
+    lib.mkdir()
+    shutil.copy(fixtures["mkv"], lib / "slow.webrip.mkv")
+    cfg = _write_config(tmp_path, lib, fixtures)
+    progfile = tmp_path / "prog.json"
+    progfile.write_text('{"progress": 0.5, "frames_encoded": 6, '
+                        '"total_frames": 12, "fps": 3.0}\n')
+    text = open(cfg).read().replace(
+        f"cp {fixtures['ivf']}",
+        f"cat {progfile}; sleep 4; cp {fixtures['ivf']}")
+    open(cfg, "w").write(text)
+
+    port = 17879
+    proc = subprocess.Popen(
+        [DAEMON, "--config", cfg, "--metrics-port", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+    try:
+        seen_progress = 0.0
+        seen_fps = 0.0
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/metrics", timeout=2) as u:
+                    snap = json.loads(u.read())
+                for jm in snap["jobs"]:
+                    if jm["stage"] == "encoding" and jm["progress"] > 0:
+                        seen_progress = jm["progress"]
+                        seen_fps = jm["fps"]
+                if seen_progress > 0:
+                    break
+            except (ConnectionError, OSError):
+                pass
+            time.sleep(0.2)
+        assert seen_progress == 0.5, "no live progress observed mid-encode"
+        assert seen_fps == 3.0
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        try:
+            proc.wait(timeout=20)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+
+
 def test_metrics_endpoint(tmp_path, fixtures):
     lib = tmp_path / "library"
     lib.mkdir()

@@ -228,7 +228,23 @@ def cmd_encode(args) -> int:
                                      metric=args.metric,
                                      partitions=args.preset == "quality",
                                      scene_threshold=args.scene_threshold)
-        write_ivf(args.output, streams, clip.width, clip.height)
+        if args.output.lower().endswith(".ivf"):
+            write_ivf(args.output, streams, clip.width, clip.height)
+        else:
+            # container output: mux the new AV1 video with every audio/
+            # subtitle stream of the original (reference av1an does this via
+            # --audio-params "-c:a copy", crates/daemon/src/encode/av1an.rs:96)
+            ivf = os.path.join(tmpdir, "video.ivf")
+            write_ivf(ivf, streams, clip.width, clip.height)
+            src = "none" if args.input.lower().endswith(".y4m") else args.input
+            r = subprocess.run([AV1_TOOL, "mux", ivf, src, args.output],
+                               capture_output=True, text=True)
+            if r.returncode != 0:
+                raise RuntimeError("mux failed: " + r.stderr.strip())
+            mux_stats = json.loads(r.stdout.strip().splitlines()[-1])
+            stats["audio_streams"] = mux_stats["audio_streams"]
+            stats["subtitle_streams"] = mux_stats["subtitle_streams"]
+            stats["bytes"] = os.path.getsize(args.output)
     stats["output"] = args.output
     print(json.dumps(stats))
     return 0

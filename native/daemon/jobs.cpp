@@ -77,7 +77,9 @@ Job create_job(const std::string &input_path, const ProbeResult &probe,
   Job j;
   j.id = generate_uuid();
   j.input_path = input_path;
-  j.output_path = (fs::path(temp_output_dir) / (j.id + ".ivf")).string();
+  // .mkv: the encode backend muxes the original's audio/subtitle streams
+  // into the output container (reference jobs.rs:187-188 also emits .mkv)
+  j.output_path = (fs::path(temp_output_dir) / (j.id + ".mkv")).string();
   j.probe = probe;
   j.source_type = type;
   j.input_bytes = probe.format.size_bytes;

@@ -4,10 +4,18 @@
  * Subcommands:
  *   encode <in.y4m> <out.ivf> [--codec libsvtav1|libaom-av1|librav1e]
  *          [--preset N] [--crf N] [--keyint N] [--threads N] [--params k=v,...]
- *       Encodes and prints one JSON line with timing/size stats.
+ *          [--audio tone]
+ *       Encodes and prints one JSON line with timing/size stats.  --audio
+ *       tone adds a synthesized 440 Hz stereo PCM track (test fixtures for
+ *       audio-preservation; container outputs only).
  *   decode <in> [out.y4m] [--codec libdav1d|libaom-av1|av1]
  *       Decodes; prints one JSON line with frame count, dims and a running
  *       MD5 over all decoded plane bytes (the cross-decoder recon oracle).
+ *   mux <video_in> <streams_from|none> <out.mkv>
+ *       Stream-copies the video from video_in (e.g. the TPU encoder's IVF)
+ *       and every audio/subtitle stream from streams_from into out — the
+ *       audio-preservation step the reference delegates to av1an's
+ *       `--audio-params "-c:a copy"` (crates/daemon/src/encode/av1an.rs:96).
  *
  * Roles in the framework:
  *   - baseline anchor: SVT-AV1 preset-6 fps on this host (BASELINE.md; the
@@ -18,6 +26,7 @@
  *     agree with the encoder's own reconstruction).
  */
 
+#include <math.h>
 #include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
@@ -141,15 +150,166 @@ done:;
 }
 
 /* ------------------------------------------------------------------ */
+/* probe                                                               */
+/* ------------------------------------------------------------------ */
+
+/* Minimal ffprobe analog: one JSON line with per-stream type/codec and
+ * container duration/size (the daemon has its own in-process probe in
+ * native/daemon/probe.cpp; this is the standalone CLI surface). */
+static int cmd_probe(int argc, char **argv) {
+    if (argc < 1) die("probe: missing input", 0);
+    AVFormatContext *fmt = NULL;
+    int err = avformat_open_input(&fmt, argv[0], NULL, NULL);
+    if (err < 0) die("open input", err);
+    if ((err = avformat_find_stream_info(fmt, NULL)) < 0) die("stream info", err);
+    printf("{\"streams\": [");
+    for (unsigned i = 0; i < fmt->nb_streams; i++) {
+        AVCodecParameters *par = fmt->streams[i]->codecpar;
+        const char *type = av_get_media_type_string(par->codec_type);
+        const char *codec = avcodec_get_name(par->codec_id);
+        printf("%s{\"type\": \"%s\", \"codec\": \"%s\", \"width\": %d, "
+               "\"height\": %d, \"sample_rate\": %d, \"channels\": %d}",
+               i ? ", " : "", type ? type : "unknown", codec,
+               par->width, par->height, par->sample_rate,
+               par->ch_layout.nb_channels);
+    }
+    printf("], \"duration_secs\": %.3f, \"format\": \"%s\"}\n",
+           fmt->duration > 0 ? fmt->duration / (double)AV_TIME_BASE : 0.0,
+           fmt->iformat->name);
+    avformat_close_input(&fmt);
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* mux                                                                 */
+/* ------------------------------------------------------------------ */
+
+/* Pull the next wanted packet from a demuxer: video-only from the video
+ * input, mapped streams from the streams input.  Returns 0 on EOF. */
+static int next_mapped_packet(AVFormatContext *fmt, AVPacket *pkt,
+                              const int *map) {
+    while (1) {
+        int err = av_read_frame(fmt, pkt);
+        if (err == AVERROR_EOF) return 0;
+        if (err < 0) die("read packet", err);
+        if (map[pkt->stream_index] >= 0) return 1;
+        av_packet_unref(pkt);
+    }
+}
+
+static int cmd_mux(int argc, char **argv) {
+    const char *vin = NULL, *sin = NULL, *out = NULL;
+    for (int i = 0; i < argc; i++) {
+        if (!vin) vin = argv[i];
+        else if (!sin) sin = argv[i];
+        else if (!out) out = argv[i];
+    }
+    if (!vin || !sin || !out) die("mux: need <video_in> <streams_from|none> <out>", 0);
+    if (!strcmp(sin, "none")) sin = NULL;
+
+    AVFormatContext *vfmt = NULL, *sfmt = NULL, *ofmt = NULL;
+    int err = avformat_open_input(&vfmt, vin, NULL, NULL);
+    if (err < 0) die("open video input", err);
+    if ((err = avformat_find_stream_info(vfmt, NULL)) < 0) die("video stream info", err);
+    int vidx = av_find_best_stream(vfmt, AVMEDIA_TYPE_VIDEO, -1, -1, NULL, 0);
+    if (vidx < 0) die("no video stream in video input", vidx);
+
+    if ((err = avformat_alloc_output_context2(&ofmt, NULL, NULL, out)) < 0)
+        die("alloc output", err);
+
+    /* stream 0: the new video */
+    int *vmap = calloc(vfmt->nb_streams, sizeof(int));
+    for (unsigned i = 0; i < vfmt->nb_streams; i++) vmap[i] = -1;
+    AVStream *ovs = avformat_new_stream(ofmt, NULL);
+    avcodec_parameters_copy(ovs->codecpar, vfmt->streams[vidx]->codecpar);
+    ovs->codecpar->codec_tag = 0;
+    ovs->time_base = vfmt->streams[vidx]->time_base;
+    vmap[vidx] = 0;
+
+    /* remaining streams: every audio/subtitle stream from the original,
+     * metadata included (language tags etc.) */
+    int *smap = NULL;
+    long naudio = 0, nsub = 0;
+    if (sin) {
+        if ((err = avformat_open_input(&sfmt, sin, NULL, NULL)) < 0)
+            die("open streams input", err);
+        if ((err = avformat_find_stream_info(sfmt, NULL)) < 0)
+            die("streams info", err);
+        smap = calloc(sfmt->nb_streams, sizeof(int));
+        for (unsigned i = 0; i < sfmt->nb_streams; i++) {
+            AVStream *st = sfmt->streams[i];
+            enum AVMediaType t = st->codecpar->codec_type;
+            smap[i] = -1;
+            if (t != AVMEDIA_TYPE_AUDIO && t != AVMEDIA_TYPE_SUBTITLE) continue;
+            AVStream *os = avformat_new_stream(ofmt, NULL);
+            avcodec_parameters_copy(os->codecpar, st->codecpar);
+            os->codecpar->codec_tag = 0;
+            os->time_base = st->time_base;
+            av_dict_copy(&os->metadata, st->metadata, 0);
+            smap[i] = os->index;
+            if (t == AVMEDIA_TYPE_AUDIO) naudio++; else nsub++;
+        }
+    }
+
+    if ((err = avio_open(&ofmt->pb, out, AVIO_FLAG_WRITE)) < 0) die("open out file", err);
+    if ((err = avformat_write_header(ofmt, NULL)) < 0) die("write header", err);
+
+    /* dts-ordered two-way merge so the output stays well interleaved */
+    AVPacket *vp = av_packet_alloc(), *sp = av_packet_alloc();
+    int have_v = next_mapped_packet(vfmt, vp, vmap);
+    int have_s = sfmt ? next_mapped_packet(sfmt, sp, smap) : 0;
+    long nvpkt = 0, nspkt = 0;
+    while (have_v || have_s) {
+        int take_v;
+        if (have_v && have_s) {
+            AVRational vtb = vfmt->streams[vp->stream_index]->time_base;
+            AVRational stb = sfmt->streams[sp->stream_index]->time_base;
+            int64_t vd = vp->dts == AV_NOPTS_VALUE ? vp->pts : vp->dts;
+            int64_t sd = sp->dts == AV_NOPTS_VALUE ? sp->pts : sp->dts;
+            take_v = av_compare_ts(vd, vtb, sd, stb) <= 0;
+        } else {
+            take_v = have_v;
+        }
+        AVPacket *pkt = take_v ? vp : sp;
+        AVFormatContext *src = take_v ? vfmt : sfmt;
+        const int *map = take_v ? vmap : smap;
+        int oidx = map[pkt->stream_index];
+        av_packet_rescale_ts(pkt, src->streams[pkt->stream_index]->time_base,
+                             ofmt->streams[oidx]->time_base);
+        pkt->stream_index = oidx;
+        pkt->pos = -1;
+        if ((err = av_interleaved_write_frame(ofmt, pkt)) < 0) die("write packet", err);
+        if (take_v) { nvpkt++; have_v = next_mapped_packet(vfmt, vp, vmap); }
+        else { nspkt++; have_s = next_mapped_packet(sfmt, sp, smap); }
+    }
+    av_write_trailer(ofmt);
+
+    printf("{\"video_packets\": %ld, \"copied_packets\": %ld, "
+           "\"audio_streams\": %ld, \"subtitle_streams\": %ld}\n",
+           nvpkt, nspkt, naudio, nsub);
+
+    av_packet_free(&vp);
+    av_packet_free(&sp);
+    avio_closep(&ofmt->pb);
+    avformat_free_context(ofmt);
+    avformat_close_input(&vfmt);
+    if (sfmt) avformat_close_input(&sfmt);
+    free(vmap);
+    free(smap);
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
 /* encode                                                              */
 /* ------------------------------------------------------------------ */
 
 static int cmd_encode(int argc, char **argv) {
     const char *in = NULL, *out = NULL, *codec_name = "libsvtav1";
-    const char *params = NULL;
+    const char *params = NULL, *audio = NULL;
     int preset = 6, crf = 30, keyint = 240, threads = 0;
     for (int i = 0; i < argc; i++) {
         if (!strcmp(argv[i], "--codec") && i + 1 < argc) codec_name = argv[++i];
+        else if (!strcmp(argv[i], "--audio") && i + 1 < argc) audio = argv[++i];
         else if (!strcmp(argv[i], "--preset") && i + 1 < argc) preset = atoi(argv[++i]);
         else if (!strcmp(argv[i], "--crf") && i + 1 < argc) crf = atoi(argv[++i]);
         else if (!strcmp(argv[i], "--keyint") && i + 1 < argc) keyint = atoi(argv[++i]);
@@ -215,6 +375,31 @@ static int cmd_encode(int argc, char **argv) {
     avcodec_parameters_from_context(ost->codecpar, ectx);
     ost->codecpar->codec_tag = 0;
     ost->time_base = ectx->time_base;
+
+    /* optional synthesized stereo PCM tone (audio-preservation fixtures) */
+    AVCodecContext *actx = NULL;
+    AVStream *ast = NULL;
+    AVFrame *aframe = NULL;
+    int64_t asamples = 0;
+    if (audio && strcmp(audio, "tone") == 0 && !fmt_name) {
+        const AVCodec *aenc = avcodec_find_encoder(AV_CODEC_ID_PCM_S16LE);
+        actx = avcodec_alloc_context3(aenc);
+        actx->sample_rate = 48000;
+        actx->sample_fmt = AV_SAMPLE_FMT_S16;
+        av_channel_layout_default(&actx->ch_layout, 2);
+        actx->time_base = (AVRational){1, 48000};
+        if ((err = avcodec_open2(actx, aenc, NULL)) < 0) die("open audio encoder", err);
+        ast = avformat_new_stream(ofmt, NULL);
+        avcodec_parameters_from_context(ast->codecpar, actx);
+        ast->codecpar->codec_tag = 0;
+        ast->time_base = actx->time_base;
+        aframe = av_frame_alloc();
+        aframe->format = AV_SAMPLE_FMT_S16;
+        av_channel_layout_default(&aframe->ch_layout, 2);
+        aframe->sample_rate = 48000;
+        aframe->nb_samples = 1600;  /* one video frame at 30 fps */
+        av_frame_get_buffer(aframe, 0);
+    }
     if ((err = avio_open(&ofmt->pb, out, AVIO_FLAG_WRITE)) < 0) die("open out file", err);
     if ((err = avformat_write_header(ofmt, NULL)) < 0) die("write header", err);
 
@@ -241,6 +426,26 @@ static int cmd_encode(int argc, char **argv) {
                 av_packet_rescale_ts(opkt, ectx->time_base, ost->time_base);
                 av_interleaved_write_frame(ofmt, opkt);
             }
+            if (actx) {  /* one video frame's worth of 440 Hz tone */
+                av_frame_make_writable(aframe);
+                int16_t *d = (int16_t *)aframe->data[0];
+                for (int s = 0; s < aframe->nb_samples; s++) {
+                    double t = (double)(asamples + s) / 48000.0;
+                    int16_t v = (int16_t)(8000.0 * sin(2 * 3.14159265358979 * 440.0 * t));
+                    d[2 * s] = v;
+                    d[2 * s + 1] = v;
+                }
+                aframe->pts = asamples;
+                asamples += aframe->nb_samples;
+                avcodec_send_frame(actx, aframe);
+                AVPacket *apkt = av_packet_alloc();
+                while (avcodec_receive_packet(actx, apkt) == 0) {
+                    apkt->stream_index = ast->index;
+                    av_packet_rescale_ts(apkt, actx->time_base, ast->time_base);
+                    av_interleaved_write_frame(ofmt, apkt);
+                }
+                av_packet_free(&apkt);
+            }
             av_frame_unref(frame);
         }
     }
@@ -265,6 +470,8 @@ static int cmd_encode(int argc, char **argv) {
     av_packet_free(&pkt);
     av_packet_free(&opkt);
     av_frame_free(&frame);
+    if (aframe) av_frame_free(&aframe);
+    if (actx) avcodec_free_context(&actx);
     avcodec_free_context(&ectx);
     avcodec_free_context(&rctx);
     avformat_close_input(&ifmt);
@@ -276,12 +483,15 @@ int main(int argc, char **argv) {
     if (argc < 2) {
         fprintf(stderr,
                 "usage: av1_tool encode <in.y4m> <out.ivf> [--codec C] [--preset N] "
-                "[--crf N] [--keyint N] [--threads N] [--params P]\n"
-                "       av1_tool decode <in> [out.y4m] [--codec C]\n");
+                "[--crf N] [--keyint N] [--threads N] [--params P] [--audio tone]\n"
+                "       av1_tool decode <in> [out.y4m] [--codec C]\n"
+                "       av1_tool mux <video_in> <streams_from|none> <out.mkv>\n");
         return 2;
     }
     if (!strcmp(argv[1], "encode")) return cmd_encode(argc - 2, argv + 2);
     if (!strcmp(argv[1], "decode")) return cmd_decode(argc - 2, argv + 2);
+    if (!strcmp(argv[1], "mux")) return cmd_mux(argc - 2, argv + 2);
+    if (!strcmp(argv[1], "probe")) return cmd_probe(argc - 2, argv + 2);
     fprintf(stderr, "unknown subcommand %s\n", argv[1]);
     return 2;
 }

@@ -40,7 +40,8 @@ def fixtures(tmp_path_factory):
     y4m = str(base / "src.y4m")
     write_y4m(y4m, clip)
     mkv = str(base / "source.mkv")
-    r = subprocess.run([TOOL, "encode", y4m, mkv, "--codec", "mpeg4"],
+    r = subprocess.run([TOOL, "encode", y4m, mkv, "--codec", "mpeg4",
+                        "--audio", "tone"],
                        capture_output=True, text=True)
     assert r.returncode == 0, r.stderr
     ivf = str(base / "encoded.ivf")
@@ -96,11 +97,10 @@ def test_full_pipeline_replaces_original(tmp_path, fixtures):
     assert r.returncode == 0, r.stdout + r.stderr
     assert "completed=1 failed=0" in r.stdout
 
-    # original replaced by the encoded .ivf
-    assert not target.exists()
-    replaced = lib / "Show.S01E01.WEBRip.ivf"
-    assert replaced.exists()
-    assert replaced.read_bytes() == open(fixtures["ivf"], "rb").read()
+    # original replaced in place (output is {id}.mkv so the name keeps its
+    # .mkv extension, matching the reference's jobs.rs:187-188)
+    assert target.exists()
+    assert target.read_bytes() == open(fixtures["ivf"], "rb").read()
     # no backup kept (keep_original defaults false)
     assert not list(lib.glob("*.orig.*"))
 
@@ -118,7 +118,7 @@ def test_full_pipeline_replaces_original(tmp_path, fixtures):
     assert j["psnr_y"] == 41.5
     assert j["vmaf"] == 93.2
 
-    # second cycle: nothing to do (file is now .ivf -> gated as already AV1)
+    # second cycle: nothing to do (file content is now AV1 -> gated)
     r2 = _run_once(cfg)
     assert "enqueued 0 job(s)" in r2.stdout
 
@@ -225,7 +225,40 @@ def test_concurrent_jobs_run_in_parallel(tmp_path, fixtures):
     wall = time.time() - t0
     assert "completed=2 failed=0" in r.stdout
     assert wall < 3.8, f"jobs did not overlap: {wall:.1f}s"
-    assert (lib / "a.webrip.ivf").exists() and (lib / "b.webrip.ivf").exists()
+    assert (lib / "a.webrip.mkv").exists() and (lib / "b.webrip.mkv").exists()
+
+
+def test_replace_preserves_audio_and_container(tmp_path, fixtures):
+    """The flagship data-integrity property the round-1 build lost: after a
+    replace, the file must still be .mkv and keep the original's audio
+    track (reference av1an.rs:96-97 `-c:a copy`).  The fake backend runs
+    the REAL mux step (av1_tool mux) over the real original."""
+    lib = tmp_path / "library"
+    lib.mkdir()
+    target = lib / "Show.S01E02.WEBRip.mkv"
+    shutil.copy(fixtures["mkv"], target)
+    cfg = _write_config(tmp_path, lib, fixtures)
+    text = open(cfg).read().replace(
+        f"cp {fixtures['ivf']} {{output}}",
+        f"{TOOL} mux {fixtures['ivf']} {{input}} {{output}} >/dev/null")
+    open(cfg, "w").write(text)
+
+    r = _run_once(cfg)
+    assert "completed=1 failed=0" in r.stdout, r.stdout + r.stderr
+    assert target.exists()
+
+    # replaced file: AV1 video + the original's PCM audio track intact
+    p = subprocess.run([TOOL, "probe", str(target)],
+                       capture_output=True, text=True)
+    info = json.loads(p.stdout)
+    types = {s["type"]: s["codec"] for s in info["streams"]}
+    assert types.get("video") == "av1"
+    assert types.get("audio") == "pcm_s16le"
+    assert info["format"].startswith("matroska")
+    # and the audio is decodable alongside the video
+    d = subprocess.run([TOOL, "decode", str(target)],
+                       capture_output=True, text=True)
+    assert json.loads(d.stdout)["frames"] == 12
 
 
 def test_encode_timeout_kills_stuck_job(tmp_path, fixtures):

@@ -201,9 +201,14 @@ def cmd_encode(args) -> int:
     from av1tpu.spec.obu import write_ivf
     from av1tpu.utils import read_y4m
 
+    from av1tpu.utils.log import get_logger, profile_trace
+
+    log = get_logger("cli")
     with tempfile.TemporaryDirectory(dir=args.temp or None) as tmpdir:
         y4m = _to_y4m(args.input, tmpdir)
         clip = read_y4m(y4m)
+        log.info("encoding %s: %dx%d %d frames %d-bit", args.input,
+                 clip.width, clip.height, clip.num_frames, clip.bit_depth)
         if args.max_frames and clip.num_frames > args.max_frames:
             clip.y = clip.y[: args.max_frames]
             clip.u = clip.u[: args.max_frames]
@@ -222,12 +227,15 @@ def cmd_encode(args) -> int:
                 "fps": round(done / dt, 2) if dt > 0 else 0.0,
             }), flush=True)
 
-        streams, stats = encode_clip(clip, args.qindex, chunk=args.chunk,
-                                     progress=_progress,
-                                     target_quality=args.target_quality,
-                                     metric=args.metric,
-                                     partitions=args.preset == "quality",
-                                     scene_threshold=args.scene_threshold)
+        with profile_trace("encode_clip"):
+            streams, stats = encode_clip(
+                clip, args.qindex, chunk=args.chunk, progress=_progress,
+                target_quality=args.target_quality, metric=args.metric,
+                partitions=args.preset == "quality",
+                scene_threshold=args.scene_threshold)
+        log.info("encoded %d frames in %.2fs (%.2f fps), %d scenes",
+                 stats["frames"], stats["encode_seconds"],
+                 stats["encode_fps"], stats["scenes"])
         if args.output.lower().endswith(".ivf"):
             write_ivf(args.output, streams, clip.width, clip.height)
         else:

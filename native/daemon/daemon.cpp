@@ -5,6 +5,7 @@
 #include <filesystem>
 
 #include "encoder.h"
+#include "log.h"
 
 namespace fs = std::filesystem;
 
@@ -93,7 +94,7 @@ int Daemon::run_scan_cycle() {
 void Daemon::run_with_scanning() {
   std::string serr;
   if (!server_->start(&serr))
-    fprintf(stderr, "metrics server: %s\n", serr.c_str());
+    LOG_ERROR("metrics", "server failed to start: %s", serr.c_str());
 
   tasks_.emplace_back([this] {  // 500 ms system sampler
     while (!stopping_) {
@@ -109,6 +110,7 @@ void Daemon::run_with_scanning() {
     while (!stopping_) {
       int n = run_scan_cycle();
       if (n) printf("scan cycle enqueued %d job(s)\n", n);
+      LOG_INFO("scan", "cycle complete: %d job(s) enqueued", n);
       for (int64_t i = 0; i < cfg_.scan.scan_interval_secs * 10 && !stopping_;
            i++)
         std::this_thread::sleep_for(std::chrono::milliseconds(100));
@@ -124,7 +126,7 @@ void Daemon::run_with_scanning() {
 void Daemon::run_once() {
   std::string serr;
   if (server_ && !server_->start(&serr))
-    fprintf(stderr, "metrics server: %s\n", serr.c_str());
+    LOG_ERROR("metrics", "server failed to start: %s", serr.c_str());
   metrics_.update([&](MetricsSnapshot *s) {
     s->system = sampler_.sample();
     s->timestamp_unix_ms = now_ms();

@@ -3,6 +3,7 @@
 #include <filesystem>
 
 #include "encoder.h"
+#include "log.h"
 #include "replace.h"
 
 namespace fs = std::filesystem;
@@ -116,6 +117,7 @@ void JobExecutor::execute(Job job) {
     update_job_metrics(job, stage_name(st));
   };
   auto fail = [&](const std::string &why) {
+    LOG_WARN("executor", "job %s failed: %s", job.id.c_str(), why.c_str());
     job.error = why;
     transition(job.stage, JobStatus::Failed);
     remove_job_metrics(job.id);
@@ -130,6 +132,8 @@ void JobExecutor::execute(Job job) {
   fs::create_directories(fs::path(job.output_path).parent_path(), ec);
 
   // ---- encode ----
+  LOG_INFO("executor", "job %s: encoding %s (%llu bytes)", job.id.c_str(),
+           job.input_path.c_str(), (unsigned long long)job.input_bytes);
   transition(JobStage::Encoding, JobStatus::Running);
   EncodeParams ep;
   ep.input_path = job.input_path;
@@ -220,6 +224,9 @@ void JobExecutor::execute(Job job) {
     return;
   }
 
+  LOG_INFO("executor", "job %s complete: %llu -> %llu bytes", job.id.c_str(),
+           (unsigned long long)job.input_bytes,
+           (unsigned long long)job.output_bytes);
   transition(JobStage::Complete, JobStatus::Success);
   metrics_->update([&](MetricsSnapshot *s) {
     s->completed_jobs++;

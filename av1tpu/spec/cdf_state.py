@@ -33,6 +33,11 @@ class Cdf:
 
 
 SKIP_OVERRIDE = None
+# behavioral-identification hooks (tools/find_inter_cdfs.py): candidate
+# tables injected here override the npz/defaults below
+INTRA_INTER_OVERRIDE = None   # [4][2]
+SINGLE_REF_OVERRIDE = None    # [3][6][2]
+INTER_TX3_OVERRIDE = None     # [4][2]  (inter tx-type set 3: IDTX/DCT)
 
 
 def _wrap(arr: np.ndarray):
@@ -71,6 +76,40 @@ class CdfState:
             # provisional equiprobable skip cdfs until the default table is
             # behaviorally identified (tools/find_skip_cdf.py)
             self.skip = [Cdf([16384, 0]) for _ in range(3)]
+
+        # inter-frame tables (structural extraction; see tables.inter_cdfs)
+        i = tables.inter_cdfs()
+        self.newmv = _wrap(i["newmv"])              # [6]
+        self.zeromv = _wrap(i["zeromv"])            # [2]
+        self.refmv = _wrap(i["refmv"])              # [6]
+        self.drl = _wrap(i["drl"])                  # [3]
+        self.y_mode = _wrap(i["y_mode"])            # [4 size groups]
+        self.mv_joints = Cdf(i["mv_joints"])
+        # the two MV components (row, col) adapt independently from
+        # identical defaults
+        self.mv_sign = [Cdf(i["mv_sign"]) for _ in range(2)]
+        self.mv_classes = [Cdf(i["mv_classes"]) for _ in range(2)]
+        self.mv_class0 = [Cdf(i["mv_class0"]) for _ in range(2)]
+        self.mv_class0_fp = [_wrap(i["mv_class0_fp"]) for _ in range(2)]
+        self.mv_fp = [Cdf(i["mv_fp"]) for _ in range(2)]
+        self.mv_bits = [_wrap(i["mv_bits"]) for _ in range(2)]
+
+        def _behavioral(name, override, shape):
+            if override is not None:
+                src = np.asarray(override)
+            elif name in i:
+                src = i[name]
+            else:  # not yet identified: equiprobable placeholder
+                src = np.full(shape, 0, np.int32)
+                src[..., 0] = 16384
+            return _wrap(src)
+
+        self.intra_inter = _behavioral(
+            "intra_inter", INTRA_INTER_OVERRIDE, (4, 2))
+        self.single_ref = _behavioral(
+            "single_ref", SINGLE_REF_OVERRIDE, (3, 6, 2))
+        self.inter_tx3 = _behavioral(
+            "inter_tx3", INTER_TX3_OVERRIDE, (4, 2))
 
 
 class DecCoder:

@@ -15,7 +15,8 @@ from .bits import BitWriter
 from .cdf_state import DecCoder, EncCoder
 from .enums import BLOCK_16X16
 from .headers import (
-    FrameHeader, SequenceHeader, write_frame_header_key, write_sequence_header,
+    FrameHeader, INTER_FRAME, SequenceHeader, write_frame_header_inter,
+    write_frame_header_key, write_sequence_header,
 )
 from .obu import OBU_FRAME, OBU_SEQUENCE_HEADER, build_obu, temporal_delimiter
 from .tile import FixedPartitionPlanner, Planner, TileCoder
@@ -102,6 +103,73 @@ def encode_keyframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
         + build_obu(OBU_FRAME, payload)
     )
     return stream, recon
+
+
+def make_frame_header_inter(seq: SequenceHeader,
+                            cfg: EncoderConfig) -> FrameHeader:
+    """Inter frame header at this encoder's operating point: LAST = slot 0
+    (the previous frame), refresh slot 0, CDFs reset per frame
+    (PRIMARY_REF_NONE), reduced tx set (inter tx-type set 3)."""
+    fh = make_frame_header(seq, cfg)
+    fh.frame_type = INTER_FRAME
+    fh.refresh_frame_flags = 0x01
+    fh.ref_frame_idx = (0, 0, 0, 0, 0, 0, 0)
+    fh.reduced_tx_set = 1
+    return fh
+
+
+def encode_interframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                      ref_recon: list, cfg: EncoderConfig,
+                      planner: Planner | None = None) -> tuple[bytes, list]:
+    """Encode one INTER frame against ref_recon (the previous frame's recon
+    planes, mi-grid padded).  Returns (obu_bytes_for_one_TU, recon)."""
+    height, width = y.shape
+    seq = make_sequence_header(width, height, cfg)
+    fh = make_frame_header_inter(seq, cfg)
+    if planner is None:
+        planner = FixedPartitionPlanner(leaf_bsize=cfg.leaf_bsize)
+
+    mh, mw = fh.mi_rows * 4, fh.mi_cols * 4
+    src = [
+        _pad_to(y.astype(np.int32), mh, mw),
+        _pad_to(u.astype(np.int32), mh // 2, mw // 2),
+        _pad_to(v.astype(np.int32), mh // 2, mw // 2),
+    ]
+    recon = [np.zeros_like(p) for p in src]
+
+    coder = EncCoder(disable_cdf_update=bool(fh.disable_cdf_update))
+    tc = TileCoder(seq, fh, coder, recon, source=src, planner=planner,
+                   ref_planes=ref_recon)
+    tc.code_tile()
+    tile_bytes = coder.done()
+
+    bw = BitWriter()
+    write_frame_header_inter(seq, fh, bw)
+    bw.byte_align()
+    payload = bw.bytes() + tile_bytes
+    stream = (temporal_delimiter()
+              + build_obu(OBU_SEQUENCE_HEADER, write_sequence_header(seq))
+              + build_obu(OBU_FRAME, payload))
+    return stream, recon
+
+
+def encode_gop(clip_y, clip_u, clip_v, cfg: EncoderConfig,
+               planners=None) -> tuple[list[bytes], list]:
+    """Encode frame 0 as a keyframe and the rest as inter frames, each
+    referencing the previous frame's reconstruction.  planners: optional
+    per-frame planner list.  Returns (streams, last_recon)."""
+    streams = []
+    recon = None
+    for i in range(len(clip_y)):
+        planner = planners[i] if planners else None
+        if i == 0:
+            s, recon = encode_keyframe(clip_y[i], clip_u[i], clip_v[i], cfg,
+                                       planner=planner)
+        else:
+            s, recon = encode_interframe(clip_y[i], clip_u[i], clip_v[i],
+                                         recon, cfg, planner=planner)
+        streams.append(s)
+    return streams, recon
 
 
 def decode_keyframe_tile(stream_payload: bytes, seq: SequenceHeader,

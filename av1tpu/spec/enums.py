@@ -133,6 +133,22 @@ MAX_TX_SIZE_RECT = [
 # intra modes
 # ---------------------------------------------------------------------------
 
+# reference frames
+INTRA_FRAME = 0
+LAST_FRAME = 1
+LAST2_FRAME = 2
+LAST3_FRAME = 3
+GOLDEN_FRAME = 4
+BWDREF_FRAME = 5
+ALTREF2_FRAME = 6
+ALTREF_FRAME = 7
+
+# inter (single) Y modes, continuing the intra enumeration
+NEARESTMV = 13
+NEARMV = 14
+GLOBALMV = 15
+NEWMV = 16
+
 DC_PRED = 0
 V_PRED = 1
 H_PRED = 2
@@ -192,6 +208,39 @@ MODE_TO_TXFM = {
     SMOOTH_H_PRED: DCT_ADST, PAETH_PRED: ADST_ADST,
     UV_CFL_PRED: DCT_DCT,
 }
+
+
+TX_SET_INTER_1 = 1  # all 16 types
+TX_SET_INTER_2 = 2  # 12 types
+TX_SET_INTER_3 = 3  # IDTX + DCT
+
+# signaling order within each inter set (spec Tx_Type ordering, mirrors
+# the intra orderings validated in round 1: IDTX leads)
+TX_SET_INTER_1_TYPES = [IDTX, V_DCT, H_DCT, DCT_DCT, ADST_DCT, DCT_ADST,
+                        FLIPADST_DCT, DCT_FLIPADST, ADST_ADST,
+                        FLIPADST_FLIPADST, ADST_FLIPADST, FLIPADST_ADST,
+                        V_ADST, H_ADST, V_FLIPADST, H_FLIPADST]
+TX_SET_INTER_2_TYPES = TX_SET_INTER_1_TYPES[:12]
+TX_SET_INTER_3_TYPES = [IDTX, DCT_DCT]
+
+
+def get_tx_set_inter(tx_size: int, reduced_tx_set: int) -> int:
+    """spec get_tx_set for inter blocks."""
+    tx_sqr_up = TX_SIZE_SQR_UP[tx_size]
+    if tx_sqr_up > TX_32X32:
+        return TX_SET_DCTONLY
+    if tx_sqr_up == TX_32X32:
+        return TX_SET_INTER_3
+    if reduced_tx_set:
+        return TX_SET_INTER_3
+    if TX_SIZE_SQR[tx_size] == TX_16X16:
+        return TX_SET_INTER_2
+    return TX_SET_INTER_1
+
+
+# Size_Group[bSize] for the y_mode cdf context (spec Size_Group table)
+SIZE_GROUP = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3,
+              1, 1, 2, 2, 3, 3]
 
 
 def get_tx_set_intra(tx_size: int, reduced_tx_set: int) -> int:

@@ -105,6 +105,8 @@ class FrameHeader:
     order_hint: int = 0
     primary_ref_frame: int = PRIMARY_REF_NONE
     refresh_frame_flags: int = 0xFF
+    # inter: which of the 8 ref slots each of LAST..ALTREF points to
+    ref_frame_idx: tuple = (0, 0, 0, 0, 0, 0, 0)
     width: int = 0
     height: int = 0
     render_width: int = 0
@@ -718,6 +720,128 @@ def write_frame_header_key(
     if seq.film_grain_params_present and (fh.show_frame or fh.showable_frame):
         bw.f(fh.apply_grain, 1)
         assert not fh.apply_grain
+    return bw
+
+
+def write_frame_header_intra_only(
+    seq: SequenceHeader, fh: FrameHeader, bw: BitWriter
+) -> BitWriter:
+    """Shown INTRA_ONLY frame refreshing slot 0 — keyframe tile syntax in a
+    non-key TU (used to validate multi-TU reference management
+    independently of the inter block syntax)."""
+    assert fh.frame_type == INTRA_ONLY_FRAME and fh.show_frame
+    bw.f(0, 1)  # show_existing_frame
+    bw.f(INTRA_ONLY_FRAME, 2)
+    bw.f(1, 1)  # show_frame
+    bw.f(fh.error_resilient_mode, 1)
+    bw.f(fh.disable_cdf_update, 1)
+    if seq.seq_force_screen_content_tools == 2:
+        bw.f(fh.allow_screen_content_tools, 1)
+    bw.f(fh.frame_size_override, 1)
+    assert not fh.frame_size_override
+    # primary_ref_frame: intra -> implied NONE, no bits
+    bw.f(fh.refresh_frame_flags, 8)
+    assert fh.refresh_frame_flags != 0xFF
+    if seq.enable_superres:
+        bw.f(0, 1)
+    bw.f(0, 1)  # render size same
+    if fh.allow_screen_content_tools:
+        bw.f(fh.allow_intrabc, 1)
+    if not fh.disable_cdf_update:
+        bw.f(fh.disable_frame_end_update_cdf, 1)
+    _write_tile_info(bw, seq, fh)
+    _write_quantization(bw, seq, fh)
+    bw.f(0, 1)  # segmentation_enabled
+    if fh.base_q_idx > 0:
+        bw.f(fh.delta_q_present, 1)
+    _compute_lossless(fh)
+    if not (fh.coded_lossless or fh.allow_intrabc):
+        l0, l1, l2, l3 = fh.loop_filter_level
+        bw.f(l0, 6)
+        bw.f(l1, 6)
+        if seq.num_planes > 1 and (l0 or l1):
+            bw.f(l2, 6)
+            bw.f(l3, 6)
+        bw.f(fh.loop_filter_sharpness, 3)
+        bw.f(fh.loop_filter_delta_enabled, 1)
+        if fh.loop_filter_delta_enabled:
+            bw.f(0, 1)
+    if not fh.coded_lossless:
+        bw.f(int(fh.tx_mode == TX_MODE_SELECT), 1)
+    bw.f(fh.reduced_tx_set, 1)
+    return bw
+
+
+def write_frame_header_inter(
+    seq: SequenceHeader, fh: FrameHeader, bw: BitWriter
+) -> BitWriter:
+    """Write a shown INTER frame header for this encoder's operating point:
+    no order hints, primary_ref_frame = NONE (per-frame CDF reset), all
+    seven ref slots -> slot 0 (LAST = previous frame), refresh slot 0,
+    force_integer_mv = 0 with allow_high_precision_mv = 0 (the encoder
+    restricts itself to quarter/full-pel MVs), non-switchable EIGHTTAP
+    filter, single reference mode, global motion identity.
+
+    Replaces the reference's reliance on SVT-AV1 for inter coding
+    (reference crates/daemon/src/encode/av1an.rs:14 --keyint 240)."""
+    assert fh.frame_type == INTER_FRAME and fh.show_frame
+    assert not seq.enable_order_hint and not seq.enable_ref_frame_mvs
+    bw.f(0, 1)  # show_existing_frame
+    bw.f(INTER_FRAME, 2)
+    bw.f(1, 1)  # show_frame (showable implied 1)
+    bw.f(fh.error_resilient_mode, 1)
+    assert not fh.error_resilient_mode
+    bw.f(fh.disable_cdf_update, 1)
+    if seq.seq_force_screen_content_tools == 2:
+        bw.f(fh.allow_screen_content_tools, 1)
+    assert not fh.allow_screen_content_tools  # force_integer_mv stays 0
+    bw.f(fh.frame_size_override, 1)
+    assert not fh.frame_size_override
+    bw.f(fh.primary_ref_frame, 3)
+    assert fh.primary_ref_frame == PRIMARY_REF_NONE
+    bw.f(fh.refresh_frame_flags, 8)
+    assert fh.refresh_frame_flags != 0xFF
+    for i in range(7):
+        bw.f(fh.ref_frame_idx[i], 3)
+    # frame_size(): no override -> max dims, no bits; render_size():
+    if seq.enable_superres:
+        bw.f(0, 1)
+    bw.f(0, 1)  # render_and_frame_size_different
+    bw.f(0, 1)  # allow_high_precision_mv (force_integer_mv == 0)
+    bw.f(0, 1)  # is_filter_switchable = 0
+    bw.f(0, 2)  # interpolation_filter = EIGHTTAP
+    bw.f(0, 1)  # is_motion_mode_switchable
+    # use_ref_frame_mvs: seq disables -> no bit
+    if not fh.disable_cdf_update:
+        bw.f(fh.disable_frame_end_update_cdf, 1)
+    _write_tile_info(bw, seq, fh)
+    _write_quantization(bw, seq, fh)
+    bw.f(0, 1)  # segmentation_enabled
+    if fh.base_q_idx > 0:
+        bw.f(fh.delta_q_present, 1)
+        assert not fh.delta_q_present
+    _compute_lossless(fh)
+    if not fh.coded_lossless:
+        l0, l1, l2, l3 = fh.loop_filter_level
+        bw.f(l0, 6)
+        bw.f(l1, 6)
+        if seq.num_planes > 1 and (l0 or l1):
+            bw.f(l2, 6)
+            bw.f(l3, 6)
+        bw.f(fh.loop_filter_sharpness, 3)
+        bw.f(fh.loop_filter_delta_enabled, 1)
+        if fh.loop_filter_delta_enabled:
+            bw.f(0, 1)  # no delta updates
+    assert not seq.enable_cdef and not seq.enable_restoration
+    if not fh.coded_lossless:
+        bw.f(int(fh.tx_mode == TX_MODE_SELECT), 1)
+    bw.f(0, 1)  # reference_select = 0 (single reference mode)
+    # skip_mode_present: not allowed without compound + order hints -> no bit
+    # allow_warped_motion: seq disables -> no bit
+    bw.f(fh.reduced_tx_set, 1)
+    for _ in range(7):  # global motion per ref: is_global = 0 (IDENTITY)
+        bw.f(0, 1)
+    assert not seq.film_grain_params_present
     return bw
 
 

@@ -51,6 +51,14 @@ def mode_cdfs() -> dict[str, np.ndarray]:
     return _load("mode_cdfs.npz")
 
 
+@functools.cache
+def inter_cdfs() -> dict[str, np.ndarray]:
+    """Inter-frame mode/MV default CDFs (see extract_tables.py
+    extract_inter_modes; ambiguous binary tables behaviorally identified by
+    tools/find_inter_cdfs.py)."""
+    return _load("inter_cdfs.npz")
+
+
 def dc_q(qindex: int, bit_depth: int = 8) -> int:
     return int(quant()[f"dc_q_{bit_depth}"][qindex])
 

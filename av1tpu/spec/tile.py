@@ -22,14 +22,20 @@ import numpy as np
 from . import tables
 from .cdf_state import CdfState
 from .enums import (
-    BLOCK_8X8, BLOCK_H, BLOCK_W, DC_PRED, INTRA_MODE_CONTEXT,
-    MAX_TX_SIZE_RECT, MI_H, MI_H_LOG2, MI_W, MI_W_LOG2, MODE_TO_TXFM,
+    BLOCK_8X8, BLOCK_H, BLOCK_W, DC_PRED, GLOBALMV, INTRA_MODE_CONTEXT,
+    LAST_FRAME, MAX_TX_SIZE_RECT, MI_H, MI_H_LOG2, MI_W, MI_W_LOG2,
+    MODE_TO_TXFM, NEARESTMV, NEARMV, NEWMV,
     PARTITION_HORZ, PARTITION_NONE, PARTITION_SPLIT, PARTITION_VERT,
-    TX_32X32, TX_64X64, TX_H, TX_SET_INTRA_1_TYPES, TX_SET_INTRA_2_TYPES,
+    SIZE_GROUP, TX_32X32, TX_64X64, TX_H, TX_SET_INTER_3,
+    TX_SET_INTER_3_TYPES, TX_SET_INTRA_1_TYPES, TX_SET_INTRA_2_TYPES,
     TX_SIZE_SQR, TX_SIZE_SQR_UP, TX_W, UV_CFL_PRED, DCT_DCT, default_scan,
-    get_tx_set_intra, horz_subsize, split_subsize, tx_size_ctx, vert_subsize,
+    get_tx_set_inter, get_tx_set_intra, horz_subsize, split_subsize,
+    tx_size_ctx, vert_subsize,
 )
-from .headers import FrameHeader, SequenceHeader, TX_MODE_LARGEST
+from .headers import (
+    FrameHeader, INTER_FRAME, SequenceHeader, TX_MODE_LARGEST,
+)
+from .mv import code_mv, drl_ctx, find_mv_stack
 from .predict import build_edges, predict_intra
 from .transforms import forward_transform_2d, inverse_transform_2d
 
@@ -113,19 +119,29 @@ class FixedPartitionPlanner(Planner):
     def modes(self, tc, r, c, bsize):
         return self.y_mode, self.uv_mode
 
+    def inter_block(self, tc, r, c, bsize, stack) -> dict:
+        """Inter decision for one block.  Default: GLOBALMV (0,0)."""
+        return {"is_inter": True, "mode": GLOBALMV,
+                "mv": stack.global_mv, "ref_mv_idx": 0, "stack": stack}
+
 
 class TileCoder:
     def __init__(self, seq: SequenceHeader, fh: FrameHeader, coder,
                  planes: list[np.ndarray], source=None,
                  planner: Planner | None = None,
                  mi_row_start=0, mi_row_end=None,
-                 mi_col_start=0, mi_col_end=None):
+                 mi_col_start=0, mi_col_end=None,
+                 ref_planes=None):
         self.seq = seq
         self.fh = fh
         self.coder = coder
         self.planner = planner
         self.source = source  # [y, u, v] source planes (encode mode)
         self.encoding = coder.mode == "encode"
+        self.inter_frame = fh.frame_type == INTER_FRAME
+        self.ref_planes = ref_planes  # [y, u, v] recon of the LAST frame
+        if self.inter_frame:
+            assert ref_planes is not None, "inter tile needs a reference"
         self.cdfs = CdfState(fh.base_q_idx)
         self.planes = planes  # [y, u, v] recon planes sized (mi*4 [>>sub])
         self.mi_rows = fh.mi_rows
@@ -142,6 +158,11 @@ class TileCoder:
         self.uv_modes = np.full((n_r, n_c), DC_PRED, np.int8)
         self.skips = np.zeros((n_r, n_c), np.int8)
         self.mi_sizes = np.zeros((n_r, n_c), np.int8)
+        # inter-frame neighbor state (MV stack + context sources)
+        self.is_inters = np.zeros((n_r, n_c), np.int8)
+        self.ref_frames = np.zeros((n_r, n_c), np.int8)  # 0 = intra
+        self.mvs = np.zeros((n_r, n_c, 2), np.int32)     # 1/8-pel row,col
+        self.has_newmvs = np.zeros((n_r, n_c), np.int8)
         self.above_part = np.zeros(n_c, np.int32)
         self.left_part = np.zeros(n_r, np.int32)
         # tx-size contexts (luma, coded tx width/height per mi unit)
@@ -322,18 +343,227 @@ class TileCoder:
     # ------------------------------------------------------------------
 
     def block(self, r, c, bsize):
+        if self.inter_frame:
+            self._inter_frame_block(r, c, bsize)
+        else:
+            self._key_frame_block(r, c, bsize)
+
+    def _skip_cdf(self, r, c):
+        skip_ctx = 0
+        if r > self.r0:
+            skip_ctx += int(self.skips[r - 1, c])
+        if c > self.c0:
+            skip_ctx += int(self.skips[r, c - 1])
+        return self.cdfs.skip[skip_ctx]
+
+    # ------------------------------------------------------------------
+    # inter-frame block syntax (spec 5.11.15 inter_frame_mode_info)
+    # ------------------------------------------------------------------
+
+    def _intra_inter_ctx(self, r, c):
+        has_above = r > self.r0
+        has_left = c > self.c0
+        if has_above and has_left:
+            a_intra = not self.is_inters[r - 1, c]
+            l_intra = not self.is_inters[r, c - 1]
+            if a_intra and l_intra:
+                return 3
+            return int(a_intra or l_intra)
+        if has_above or has_left:
+            n = (r - 1, c) if has_above else (r, c - 1)
+            return 2 * int(not self.is_inters[n])
+        return 0
+
+    def _neighbor_ref_counts(self, r, c):
+        counts = [0] * 8
+        if r > self.r0 and self.is_inters[r - 1, c]:
+            counts[int(self.ref_frames[r - 1, c])] += 1
+        if c > self.c0 and self.is_inters[r, c - 1]:
+            counts[int(self.ref_frames[r, c - 1])] += 1
+        return counts
+
+    def _code_single_ref(self, r, c):
+        """Single-reference coding tree; this encoder uses LAST only (the
+        decoder path rejects other refs for now)."""
+        cnt = self._neighbor_ref_counts(r, c)
+        enc = self.encoding
+
+        def ctx3(a, b):
+            return 1 if a == b else (0 if a < b else 2)
+
+        fwd = cnt[1] + cnt[2] + cnt[3] + cnt[4]
+        bwd = cnt[5] + cnt[6] + cnt[7]
+        b1 = self.coder.sym(self.cdfs.single_ref[ctx3(fwd, bwd)][0],
+                            0 if enc else None)
+        if b1:
+            raise NotImplementedError("backward reference frames")
+        b3 = self.coder.sym(
+            self.cdfs.single_ref[ctx3(cnt[1] + cnt[2], cnt[3] + cnt[4])][2],
+            0 if enc else None)
+        if b3:
+            raise NotImplementedError("LAST3/GOLDEN reference")
+        b4 = self.coder.sym(self.cdfs.single_ref[ctx3(cnt[1], cnt[2])][3],
+                            0 if enc else None)
+        if b4:
+            raise NotImplementedError("LAST2 reference")
+        return LAST_FRAME
+
+    def _code_inter_mode(self, stack, mode):
+        c, coder = self.cdfs, self.coder
+        if self.encoding:
+            nm = int(mode != NEWMV)
+            coder.sym(c.newmv[stack.new_mv_ctx], nm)
+            if nm:
+                zm = int(mode != GLOBALMV)
+                coder.sym(c.zeromv[stack.zero_mv_ctx], zm)
+                if zm:
+                    coder.sym(c.refmv[stack.ref_mv_ctx],
+                              int(mode != NEARESTMV))
+            return mode
+        if coder.sym(c.newmv[stack.new_mv_ctx]) == 0:
+            return NEWMV
+        if coder.sym(c.zeromv[stack.zero_mv_ctx]) == 0:
+            return GLOBALMV
+        if coder.sym(c.refmv[stack.ref_mv_ctx]) == 0:
+            return NEARESTMV
+        return NEARMV
+
+    def _code_drl(self, stack, mode, ref_mv_idx):
+        """DRL index (spec read_drl_idx); returns RefMvIdx."""
+        n = stack.num_found
+        if mode == NEWMV:
+            out = 0
+            for idx in range(2):
+                if n > idx + 1:
+                    ctx = drl_ctx(stack.weights, idx)
+                    bit = (int(ref_mv_idx != idx) if self.encoding else None)
+                    bit = self.coder.sym(self.cdfs.drl[ctx], bit)
+                    if not bit:
+                        return idx
+                    out = idx + 1
+            return out
+        if mode == NEARMV:
+            out = 0
+            for idx in range(1, 3):
+                if n > idx + 1:
+                    ctx = drl_ctx(stack.weights, idx)
+                    bit = (int(ref_mv_idx + 1 != idx)
+                           if self.encoding else None)
+                    bit = self.coder.sym(self.cdfs.drl[ctx], bit)
+                    if not bit:
+                        return idx - 1
+                    out = idx
+            return out
+        return 0
+
+    def _inter_frame_block(self, r, c, bsize):
+        mi_w, mi_h = MI_W[bsize], MI_H[bsize]
+        has_chroma = self._has_chroma(r, c, bsize)
+        self._cur_tx = MAX_TX_SIZE_RECT[bsize]
+        # the MV stack depends only on already-coded state, so encoder and
+        # decoder compute it at the same point
+        stack = find_mv_stack(self, r, c, bsize, LAST_FRAME)
+
+        if self.encoding:
+            dec = self.planner.inter_block(self, r, c, bsize, stack)
+            is_inter = dec["is_inter"]
+            mode = dec.get("mode", GLOBALMV)
+            mv = dec.get("mv", (0, 0))
+            ref_mv_idx = dec.get("ref_mv_idx", 0)
+            y_mode = dec.get("y_mode", DC_PRED)
+            uv_mode = dec.get("uv_mode", DC_PRED)
+            planned = self._plan_residuals(
+                r, c, bsize, y_mode, uv_mode, has_chroma,
+                is_inter=is_inter, mv=mv)
+            skip = int(all(t is None or t["eob"] == 0 for t in planned))
+            self.coder.sym(self._skip_cdf(r, c), skip)
+        else:
+            planned = None
+            skip = self.coder.sym(self._skip_cdf(r, c))
+
+        ii_ctx = self._intra_inter_ctx(r, c)
+        if self.encoding:
+            self.coder.sym(self.cdfs.intra_inter[ii_ctx], int(is_inter))
+        else:
+            is_inter = bool(self.coder.sym(self.cdfs.intra_inter[ii_ctx]))
+
+        if is_inter:
+            self._code_single_ref(r, c)
+            if not self.encoding:
+                mode = None
+                ref_mv_idx = 0
+            mode = self._code_inter_mode(stack, mode)
+            if mode in (NEWMV, NEARMV):
+                ref_mv_idx = self._code_drl(
+                    stack, mode, ref_mv_idx if self.encoding else None)
+            if mode == NEWMV:
+                pred = stack.stack[ref_mv_idx]
+                mv = code_mv(self, pred, mv if self.encoding else None)
+            elif mode == GLOBALMV:
+                mv = stack.global_mv
+            elif mode == NEARESTMV:
+                mv = stack.stack[0]
+            else:  # NEARMV
+                mv = stack.stack[min(ref_mv_idx + 1, stack.num_found - 1)]
+            y_mode = uv_mode = DC_PRED
+        else:
+            mode = None
+            mv = (0, 0)
+            # intra in an inter frame: y_mode by size group, no kf contexts
+            y_cdf = self.cdfs.y_mode[SIZE_GROUP[bsize]]
+            if self.encoding:
+                self.coder.sym(y_cdf, y_mode)
+            else:
+                y_mode = self.coder.sym(y_cdf)
+            if self._is_directional(y_mode) and bsize >= BLOCK_8X8:
+                self._angle_delta(y_mode)
+            if has_chroma:
+                cfl = int(BLOCK_W[bsize] <= 32 and BLOCK_H[bsize] <= 32)
+                uv_cdf = self.cdfs.uv_mode[cfl][y_mode]
+                if self.encoding:
+                    self.coder.sym(uv_cdf, uv_mode)
+                else:
+                    uv_mode = self.coder.sym(uv_cdf)
+                if uv_mode == UV_CFL_PRED:
+                    raise NotImplementedError("CfL prediction")
+                if self._is_directional(uv_mode) and bsize >= BLOCK_8X8:
+                    self._angle_delta(uv_mode)
+            else:
+                uv_mode = DC_PRED
+
+        self.y_modes[r : r + mi_h, c : c + mi_w] = y_mode
+        self.uv_modes[r : r + mi_h, c : c + mi_w] = uv_mode
+        self.skips[r : r + mi_h, c : c + mi_w] = skip
+        self.mi_sizes[r : r + mi_h, c : c + mi_w] = bsize
+        self.is_inters[r : r + mi_h, c : c + mi_w] = int(is_inter)
+        self.ref_frames[r : r + mi_h, c : c + mi_w] = (
+            LAST_FRAME if is_inter else 0)
+        self.mvs[r : r + mi_h, c : c + mi_w] = mv
+        self.has_newmvs[r : r + mi_h, c : c + mi_w] = int(mode == NEWMV)
+
+        self._cur_tx = self._read_block_tx_size(r, c, bsize, skip)
+        if skip:
+            self.above_tx_w[c : c + mi_w] = BLOCK_W[bsize]
+            self.left_tx_h[r : r + mi_h] = BLOCK_H[bsize]
+        else:
+            self.above_tx_w[c : c + mi_w] = TX_W[self._cur_tx]
+            self.left_tx_h[r : r + mi_h] = TX_H[self._cur_tx]
+
+        self._residual(r, c, bsize, y_mode, uv_mode, skip, has_chroma,
+                       planned, is_inter=is_inter, mv=mv)
+
+    # ------------------------------------------------------------------
+    # key/intra-only frame block syntax
+    # ------------------------------------------------------------------
+
+    def _key_frame_block(self, r, c, bsize):
         mi_w, mi_h = MI_W[bsize], MI_H[bsize]
         if self.encoding:
             y_mode, uv_mode = self.planner.modes(self, r, c, bsize)
         else:
             y_mode = uv_mode = None
 
-        skip_ctx = 0
-        if r > self.r0:
-            skip_ctx += int(self.skips[r - 1, c])
-        if c > self.c0:
-            skip_ctx += int(self.skips[r, c - 1])
-        skip_cdf = self.cdfs.skip[skip_ctx]
+        skip_cdf = self._skip_cdf(r, c)
 
         has_chroma = self._has_chroma(r, c, bsize)
         self._cur_tx = MAX_TX_SIZE_RECT[bsize]  # refined after mode info
@@ -482,18 +712,41 @@ class TileCoder:
         return predict_intra(mode, above, left, corner, w, h,
                              have_above, have_left, self.bd)
 
-    def _plan_residuals(self, r, c, bsize, y_mode, uv_mode, has_chroma):
+    def _predict_inter(self, plane, x, y, tx, mv):
+        """Motion compensation from the LAST reference.  Full-pel only for
+        now (the encoder restricts its search accordingly); reads are
+        clamped to the frame bounds exactly as the normative predictor."""
+        sub = 1 if plane else 0
+        ref = self.ref_planes[plane]
+        w, h = TX_W[tx], TX_H[tx]
+        assert mv[0] % (8 << sub) == 0 and mv[1] % (8 << sub) == 0, \
+            "subpel motion compensation not yet implemented"
+        dy = (mv[0] >> 3) >> sub
+        dx = (mv[1] >> 3) >> sub
+        fw = (self.fh.width + sub) >> sub
+        fhh = (self.fh.height + sub) >> sub
+        rows = np.clip(np.arange(y + dy, y + dy + h), 0, fhh - 1)
+        cols = np.clip(np.arange(x + dx, x + dx + w), 0, fw - 1)
+        return ref[np.ix_(rows, cols)].astype(np.int64)
+
+    def _plan_residuals(self, r, c, bsize, y_mode, uv_mode, has_chroma,
+                        is_inter=False, mv=(0, 0)):
         """Encoder pre-pass: predict, transform, quantize and reconstruct
         every txb of the block (recon is written so later txbs see correct
         edges).  Emission afterwards only codes symbols + contexts."""
         planned = []
         for plane, x, y, tx in self._txb_iter(r, c, bsize, has_chroma):
             mode = y_mode if plane == 0 else uv_mode
-            pred = self._predict(plane, x, y, tx, mode)
+            if is_inter:
+                pred = self._predict_inter(plane, x, y, tx, mv)
+            else:
+                pred = self._predict(plane, x, y, tx, mode)
             w, h = TX_W[tx], TX_H[tx]
             src = self.source[plane][y : y + h, x : x + w].astype(np.int64)
             resid = src - pred
-            if plane == 0:
+            if is_inter:
+                ttype = DCT_DCT  # inter planner scope: DCT everywhere
+            elif plane == 0:
                 ttype = self.planner.tx_type(self, plane, tx, mode)
             else:
                 ttype = self._chroma_tx_type(tx, mode)
@@ -543,7 +796,7 @@ class TileCoder:
         return dq
 
     def _residual(self, r, c, bsize, y_mode, uv_mode, skip, has_chroma,
-                  planned):
+                  planned, is_inter=False, mv=(0, 0)):
         idx = 0
         for plane, x, y, tx in self._txb_iter(r, c, bsize, has_chroma):
             mode = y_mode if plane == 0 else uv_mode
@@ -556,18 +809,27 @@ class TileCoder:
                 else:
                     self._code_coeffs(plane, x, y, tx, pbsize, mode,
                                       txb["tx_type"], txb["levels"],
-                                      txb["eob"])
+                                      txb["eob"], is_inter=is_inter)
             else:
-                pred = self._predict(plane, x, y, tx, mode)
+                if is_inter:
+                    pred = self._predict_inter(plane, x, y, tx, mv)
+                else:
+                    pred = self._predict(plane, x, y, tx, mode)
                 w, h = TX_W[tx], TX_H[tx]
                 if skip:
                     self._set_coef_ctx(plane, x, y, tx, 0, 0)
-                    blk = pred
+                    blk = np.clip(pred, 0, self.pix_max)
                 else:
-                    derived = (None if plane == 0
-                               else self._chroma_tx_type(tx, mode))
+                    if is_inter:
+                        # inter chroma follows the block's luma tx type
+                        # (DCT in this encoder's scope); luma is coded
+                        derived = DCT_DCT if plane else None
+                    else:
+                        derived = (None if plane == 0
+                                   else self._chroma_tx_type(tx, mode))
                     levels, ttype = self._code_coeffs(
-                        plane, x, y, tx, pbsize, mode, derived, None, None)
+                        plane, x, y, tx, pbsize, mode, derived, None, None,
+                        is_inter=is_inter)
                     dq = self._dequant(levels, plane, tx)
                     blk = np.clip(pred + inverse_transform_2d(dq, ttype),
                                   0, self.pix_max)
@@ -637,8 +899,21 @@ class TileCoder:
             return value
         return types[self.coder.sym(cdf)]
 
+    def _code_tx_type_inter(self, tx, value):
+        tx_set = get_tx_set_inter(tx, self.fh.reduced_tx_set)
+        if tx_set == 0 or self.fh.base_q_idx == 0:
+            return DCT_DCT
+        if tx_set != TX_SET_INTER_3:
+            raise NotImplementedError(
+                "inter tx sets 1/2 (use reduced_tx_set=1)")
+        cdf = self.cdfs.inter_tx3[TX_SIZE_SQR[tx]]
+        if self.encoding:
+            self.coder.sym(cdf, TX_SET_INTER_3_TYPES.index(value))
+            return value
+        return TX_SET_INTER_3_TYPES[self.coder.sym(cdf)]
+
     def _code_coeffs(self, plane, x, y, tx, pbsize, mode, tx_type, levels,
-                     eob):
+                     eob, is_inter=False):
         """Symmetric coeffs() (spec 5.11.39).  Encode mode: levels/eob given.
         Decode mode: returns (levels, tx_type)."""
         w, h = TX_W[tx], TX_H[tx]
@@ -661,7 +936,10 @@ class TileCoder:
             return
 
         if plane == 0:
-            tx_type = self._code_tx_type(tx, mode, tx_type)
+            if is_inter:
+                tx_type = self._code_tx_type_inter(tx, tx_type)
+            else:
+                tx_type = self._code_tx_type(tx, mode, tx_type)
         # (chroma tx type is derived, not coded)
 
         scan = default_scan(tx)

@@ -21,7 +21,38 @@ from av1tpu.spec.enums import (
     DC_PRED, GLOBALMV, NEARESTMV, NEARMV, NEWMV, PARTITION_NONE,
     PARTITION_SPLIT,
 )
-from av1tpu.spec.tile import Planner
+from av1tpu.spec.tile import FixedPartitionPlanner, Planner
+
+
+class InterReplayPlanner(FixedPartitionPlanner):
+    """Feeds precomputed TPU inter decisions (models/inter_v.py) through the
+    spec engine: per-16x16 MV grid + level grids.  The signaling mode is
+    chosen here per block as the cheapest way to code the TPU's MV against
+    the (sequentially known) MV prediction stack."""
+
+    def __init__(self, mv_grid: np.ndarray, levels_y: np.ndarray,
+                 levels_u: np.ndarray, levels_v: np.ndarray):
+        super().__init__(leaf_bsize=6)
+        self.mv_grid = np.asarray(mv_grid)
+        self.grids = (np.asarray(levels_y), np.asarray(levels_u),
+                      np.asarray(levels_v))
+
+    def inter_block(self, tc, r, c, bsize, stack):
+        mv = tuple(int(x) for x in self.mv_grid[r // 4, c // 4])
+        if mv == tuple(stack.global_mv):
+            mode, idx = GLOBALMV, 0
+        elif stack.num_found >= 1 and mv == tuple(stack.stack[0]):
+            mode, idx = NEARESTMV, 0
+        elif stack.num_found >= 2 and mv == tuple(stack.stack[1]):
+            mode, idx = NEARMV, 0
+        else:
+            mode, idx = NEWMV, 0
+        return {"is_inter": True, "mode": mode, "mv": mv,
+                "ref_mv_idx": idx, "stack": stack}
+
+    def quantize(self, tc, coefs_f, plane, tx, dc_q, ac_q, shift, x=0, y=0):
+        n = 16 if plane == 0 else 8
+        return np.asarray(self.grids[plane][y // n, x // n]).astype(np.int64)
 
 
 def _round_even_fullpel(mv):

@@ -41,22 +41,27 @@ def _pad_plane(a: np.ndarray, h: int, w: int) -> np.ndarray:
 
 def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                 target_quality: float = 0.0, metric: str = "vmaf",
-                partitions: bool = True,
-                scene_threshold: float = 2.5) -> tuple[list[bytes], dict]:
-    """Encode every frame of a Clip as an AV1 keyframe TU.  With
-    target_quality > 0, a per-chunk CQ bisection picks the coarsest qindex
-    whose first-frame score meets the target (av1an --target-quality
-    equivalent).  partitions=True uses the 32/16 partition-RDO pipeline.
-    Returns (per-frame OBU streams, stats)."""
+                partitions: bool = True, scene_threshold: float = 2.5,
+                gop: bool = True) -> tuple[list[bytes], dict]:
+    """Encode a Clip into AV1 TUs.  gop=True (the production mode) codes one
+    keyframe per scene and inter frames in between, matching the reference's
+    operating point (av1an --keyint 240, crates/daemon/src/encode/av1an.rs:14);
+    gop=False is the all-intra mode.  With target_quality > 0, a per-scene CQ
+    bisection picks the coarsest qindex whose keyframe score meets the target
+    (av1an --target-quality equivalent).  partitions=True uses the 32/16
+    partition-RDO pipeline for keyframes.  Returns (per-frame OBU streams,
+    stats)."""
     import jax
 
     from av1tpu.coding import Packer
     from av1tpu.models.cq import cq_search, probe_quality
+    from av1tpu.models.inter_v import encode_gop_chunk, split_compact_inter
     from av1tpu.models.intra_part import (
-        encode_intra_part_chunk, split_compact_part,
+        encode_intra_key_recon, encode_intra_part_chunk, split_compact_part,
     )
     from av1tpu.models.intra_v import (
-        encode_intra_v_chunk, fuse_planes, split_compact,
+        encode_intra_v_chunk, encode_intra_v_key_recon, fuse_planes,
+        split_compact,
     )
 
     from av1tpu.core.scenes import scene_scores, split_scenes
@@ -65,6 +70,7 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
     bd = clip.bit_depth
     cw = (width + 63) & ~63
     ch = (height + 63) & ~63
+    inter_cap = max(131072, (ch * cw) // 8)
     packer = Packer()
     streams: list[bytes] = []
     t0 = time.perf_counter()
@@ -83,64 +89,108 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
     else:
         segments = [(0, n)]
 
-    plan: list[tuple[int, int, bool]] = []  # (base, k, is_scene_start)
-    for s0, e0 in segments:
-        for base in range(s0, e0, chunk):
-            plan.append((base, min(chunk, e0 - base), base == s0))
+    def padded(i):
+        return (_pad_plane(clip.y[i].astype(np.int32), ch, cw),
+                _pad_plane(clip.u[i].astype(np.int32), ch // 2, cw // 2),
+                _pad_plane(clip.v[i].astype(np.int32), ch // 2, cw // 2))
 
-    for base, k, scene_start in plan:
-        planes = [
-            (_pad_plane(clip.y[base + i].astype(np.int32), ch, cw),
-             _pad_plane(clip.u[base + i].astype(np.int32), ch // 2, cw // 2),
-             _pad_plane(clip.v[base + i].astype(np.int32), ch // 2, cw // 2))
-            for i in range(k)]
-        fused = np.stack([fuse_planes(*p, bit_depth=bd) for p in planes])
-        if k < chunk:  # keep one compiled shape
-            fused = np.concatenate(
-                [fused, np.repeat(fused[-1:], chunk - k, axis=0)])
-
-        if scene_start or not q_used:
-            yj = jax.numpy.asarray(planes[0][0])
-            uj = jax.numpy.asarray(planes[0][1])
-            vj = jax.numpy.asarray(planes[0][2])
-            if target_quality > 0:
-                q, score = cq_search(yj, uj, vj, target_quality,
-                                     metric=metric, bit_depth=bd,
-                                     partitions=partitions)
-            else:
-                q = qindex
-                score = float(probe_quality(yj, uj, vj, jax.numpy.int32(q),
-                                            metric=metric, bit_depth=bd,
-                                            partitions=partitions))
-            scores.append(score)
-            psnrs.append(float(probe_quality(yj, uj, vj, jax.numpy.int32(q),
-                                             metric="psnr", bit_depth=bd,
-                                             partitions=partitions)))
-        q_used.append(q)
-
-        if partitions:
-            bufs = np.asarray(
-                encode_intra_part_chunk(jax.device_put(fused), q, ch, cw))
+    def select_q(planes0):
+        yj = jax.numpy.asarray(planes0[0])
+        uj = jax.numpy.asarray(planes0[1])
+        vj = jax.numpy.asarray(planes0[2])
+        if target_quality > 0:
+            q, score = cq_search(yj, uj, vj, target_quality, metric=metric,
+                                 bit_depth=bd, partitions=partitions)
         else:
-            bufs = np.asarray(
-                encode_intra_v_chunk(jax.device_put(fused), q, ch, cw))
-        for i in range(k):
+            q = qindex
+            score = float(probe_quality(yj, uj, vj, jax.numpy.int32(q),
+                                        metric=metric, bit_depth=bd,
+                                        partitions=partitions))
+        scores.append(score)
+        psnrs.append(float(probe_quality(yj, uj, vj, jax.numpy.int32(q),
+                                         metric="psnr", bit_depth=bd,
+                                         partitions=partitions)))
+        return q
+
+    def pack_key(buf, q):
+        if partitions:
+            (count, bm, vals, m16, m32, sp,
+             sp64) = split_compact_part(buf, ch, cw)
+            if count > len(vals):
+                raise RuntimeError("compact capacity exceeded")
+            tile = packer.pack_tile_part(bm, vals, m16, m32, sp, sp64,
+                                         ch, cw, q)
+        else:
+            count, bm, vals, modes = split_compact(buf, ch, cw)
+            if count > len(vals):
+                raise RuntimeError("compact capacity exceeded")
+            tile = packer.pack_tile_compact(bm, vals, ch, cw, q,
+                                            modes=modes)
+        return _wrap_tu(tile, cw, ch, width, height, q, bd)
+
+    if gop:
+        for s0, e0 in segments:
+            planes0 = padded(s0)
+            q = select_q(planes0)
+            q_used.append(q)
+            fused0 = fuse_planes(*planes0, bit_depth=bd)
+            key_fn = (encode_intra_key_recon if partitions
+                      else encode_intra_v_key_recon)
+            buf, ref = key_fn(jax.device_put(fused0), q, ch, cw)
+            streams.append(pack_key(np.asarray(buf), q))
+            if progress:
+                progress(s0 + 1, n)
+            for base in range(s0 + 1, e0, chunk):
+                k = min(chunk, e0 - base)
+                fused = np.stack([
+                    fuse_planes(*padded(base + i), bit_depth=bd)
+                    for i in range(k)])
+                if k < chunk:  # keep one compiled shape; the tail's carry
+                    fused = np.concatenate(  # feeds only the next keyframe
+                        [fused, np.repeat(fused[-1:], chunk - k, axis=0)])
+                bufs, ref = encode_gop_chunk(jax.device_put(fused), ref, q,
+                                             ch, cw, cap=inter_cap)
+                for i in range(k):
+                    # per-frame fetch: frame i's transfer + host pack
+                    # overlap frames i+1..'s TPU compute (async dispatch)
+                    count, bm, vals, mv = split_compact_inter(
+                        np.asarray(bufs[i]), ch, cw)
+                    if count > len(vals):
+                        raise RuntimeError("compact capacity exceeded")
+                    tile = packer.pack_tile_inter(bm, vals, mv, ch, cw, q)
+                    streams.append(_wrap_tu_inter(tile, cw, ch, width,
+                                                  height, q, bd))
+                if progress:
+                    progress(base + k, n)
+    else:
+        plan: list[tuple[int, int, bool]] = []  # (base, k, is_scene_start)
+        for s0, e0 in segments:
+            for base in range(s0, e0, chunk):
+                plan.append((base, min(chunk, e0 - base), base == s0))
+
+        for base, k, scene_start in plan:
+            planes = [padded(base + i) for i in range(k)]
+            fused = np.stack([fuse_planes(*p, bit_depth=bd)
+                              for p in planes])
+            if k < chunk:  # keep one compiled shape
+                fused = np.concatenate(
+                    [fused, np.repeat(fused[-1:], chunk - k, axis=0)])
+
+            if scene_start or not q_used:
+                q = select_q(planes[0])
+            q_used.append(q)
+
             if partitions:
-                (count, bm, vals, m16, m32, sp,
-                 sp64) = split_compact_part(bufs[i], ch, cw)
-                if count > len(vals):
-                    raise RuntimeError("compact capacity exceeded")
-                tile = packer.pack_tile_part(bm, vals, m16, m32, sp,
-                                             sp64, ch, cw, q)
+                bufs = np.asarray(
+                    encode_intra_part_chunk(jax.device_put(fused), q, ch,
+                                            cw))
             else:
-                count, bm, vals, modes = split_compact(bufs[i], ch, cw)
-                if count > len(vals):
-                    raise RuntimeError("compact capacity exceeded")
-                tile = packer.pack_tile_compact(bm, vals, ch, cw, q,
-                                                modes=modes)
-            streams.append(_wrap_tu(tile, cw, ch, width, height, q, bd))
-        if progress:
-            progress(base + k, n)
+                bufs = np.asarray(
+                    encode_intra_v_chunk(jax.device_put(fused), q, ch, cw))
+            for i in range(k):
+                streams.append(pack_key(bufs[i], q))
+            if progress:
+                progress(base + k, n)
 
     dt = time.perf_counter() - t0
     stats = {
@@ -152,6 +202,7 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
         "height": height,
         "qindex": round(sum(q_used) / len(q_used), 1),
         "scenes": len(segments),
+        "keyframes": len(segments) if gop else n,
         "psnr_y": round(sum(psnrs) / len(psnrs), 3),
         metric if metric != "psnr" else "metric_score":
             round(sum(scores) / len(scores), 3),
@@ -182,6 +233,25 @@ def _wrap_tu(tile: bytes, coded_w: int, coded_h: int, render_w: int,
     return (temporal_delimiter()
             + build_obu(OBU_SEQUENCE_HEADER, write_sequence_header(seq))
             + build_obu(OBU_FRAME, bw.bytes() + tile))
+
+
+def _wrap_tu_inter(tile: bytes, coded_w: int, coded_h: int, render_w: int,
+                   render_h: int, qindex: int, bit_depth: int = 8) -> bytes:
+    from av1tpu.spec.bits import BitWriter
+    from av1tpu.spec.encode_frame import (
+        EncoderConfig, make_frame_header_inter, make_sequence_header,
+    )
+    from av1tpu.spec.headers import write_frame_header_inter
+    from av1tpu.spec.obu import OBU_FRAME, build_obu, temporal_delimiter
+
+    cfg = EncoderConfig(base_q_idx=qindex, bit_depth=bit_depth)
+    seq = make_sequence_header(coded_w, coded_h, cfg)
+    fh = make_frame_header_inter(seq, cfg)
+    fh.render_width, fh.render_height = render_w, render_h
+    bw = BitWriter()
+    write_frame_header_inter(seq, fh, bw)
+    bw.byte_align()
+    return temporal_delimiter() + build_obu(OBU_FRAME, bw.bytes() + tile)
 
 
 def _to_y4m(path: str, tmpdir: str) -> str:
@@ -232,7 +302,8 @@ def cmd_encode(args) -> int:
                 clip, args.qindex, chunk=args.chunk, progress=_progress,
                 target_quality=args.target_quality, metric=args.metric,
                 partitions=args.preset == "quality",
-                scene_threshold=args.scene_threshold)
+                scene_threshold=args.scene_threshold,
+                gop=not args.all_intra)
         log.info("encoded %d frames in %.2fs (%.2f fps), %d scenes",
                  stats["frames"], stats["encode_seconds"],
                  stats["encode_fps"], stats["scenes"])
@@ -279,6 +350,10 @@ def main(argv=None) -> int:
     enc.add_argument("--scene-threshold", type=float, default=2.5,
                      help="scene-cut score threshold (chunking for "
                           "per-scene CQ)")
+    enc.add_argument("--all-intra", action="store_true",
+                     help="every frame a keyframe (default: one keyframe "
+                          "per scene + inter frames, like the reference's "
+                          "--keyint 240)")
     enc.add_argument("--preset", choices=("fast", "quality"),
                      default="quality",
                      help="fast: fixed 16x16 grid (max fps); quality: "

@@ -36,6 +36,13 @@ class Packer:
                       [ctypes.c_int] * 4 + \
                       [ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t]
         self._fn3 = f3
+        fi = self._lib.pack_tile_inter
+        fi.restype = ctypes.c_size_t
+        fi.argtypes = [ctypes.POINTER(ctypes.c_uint16)] + \
+                      [ctypes.POINTER(ctypes.c_int16)] * 3 + \
+                      [ctypes.c_int] * 4 + \
+                      [ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t]
+        self._fni = fi
         f2 = self._lib.pack_tile_v2
         f2.restype = ctypes.c_size_t
         f2.argtypes = [ctypes.POINTER(ctypes.c_uint16),
@@ -93,6 +100,30 @@ class Packer:
                       out, cap)
         if n == 0:
             raise RuntimeError("pack_tile_v2 failed (buffer too small?)")
+        return bytes(bytearray(out)[:n])
+
+    def pack_tile_inter(self, bitmap: np.ndarray, vals: np.ndarray,
+                        mv: np.ndarray, height: int, width: int,
+                        qindex: int,
+                        disable_cdf_update: bool = False) -> bytes:
+        """Pack one inter tile from the compact form produced by
+        encode_inter_v/_compact: significance bitmap + nonzero values +
+        per-16x16-block MV grid (r16, c16, 2) int 1/8-pel."""
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        bm = np.ascontiguousarray(bitmap, np.uint16)
+        vv = np.ascontiguousarray(vals, np.int16)
+        mv = np.asarray(mv)
+        mvr = np.ascontiguousarray(mv[..., 0].reshape(-1), np.int16)
+        mvc = np.ascontiguousarray(mv[..., 1].reshape(-1), np.int16)
+        cap = height * width * 8 + 65536
+        out = (ctypes.c_uint8 * cap)()
+        n = self._fni(bm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                      vv.ctypes.data_as(i16p), mvr.ctypes.data_as(i16p),
+                      mvc.ctypes.data_as(i16p),
+                      height // 4, width // 4, qindex,
+                      int(disable_cdf_update), out, cap)
+        if n == 0:
+            raise RuntimeError("pack_tile_inter failed (buffer too small?)")
         return bytes(bytearray(out)[:n])
 
     def pack_tile_part(self, bitmap: np.ndarray, vals: np.ndarray,

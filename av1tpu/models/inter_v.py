@@ -39,7 +39,8 @@ from av1tpu.ops.transforms_jax import forward_matrix, inverse_transform
 
 # search geometry (even-full-pel luma units)
 _COARSE_R = 8      # +-8 at quarter res = +-32 px, step 4 px
-_REFINE_R = 6      # +-6 px local refine, step 2 px
+_REFINE_R = 4      # +-4 px local refine, step 2 px (covers the 4-px coarse
+#                    grid granularity with one step of margin)
 _PATCH = 16 + 2 * _REFINE_R      # gathered per-block reference patch side
 MAX_MV_PX = 4 * _COARSE_R + _REFINE_R
 
@@ -52,34 +53,94 @@ def _block_sad(diff, n: int):
 
 def _coarse_search(src_q, ref_q, lam):
     """Quarter-res full search.  src_q/ref_q: (H/4, W/4) int32.  Returns
-    (r16, c16, 2) int32 full-res even-pel MV (multiples of 4 px)."""
+    (r16, c16, 2) int32 full-res even-pel MV (multiples of 4 px).
+
+    Vectorized over row shifts (one stacked tensor) with a short loop over
+    column shifts — 17 sizable ops instead of a 289-step scan, which on the
+    remote-dispatch path is latency-, not FLOP-, bound."""
     hq, wq = src_q.shape
     rows, cols = hq // 4, wq // 4          # 4x4 quarter blocks = 16x16 full
     r = _COARSE_R
+    nd = 2 * r + 1
     pad = jnp.pad(ref_q, r, mode="edge")
-    shifts = jnp.asarray([(dy, dx)
-                          for dy in range(-r, r + 1)
-                          for dx in range(-r, r + 1)], jnp.int32)
+    rows_sh = jnp.stack([pad[r + dy : r + dy + hq, :]
+                         for dy in range(-r, r + 1)])   # (nd, hq, wq+2r)
+    dys = jnp.arange(-r, r + 1, dtype=jnp.int32)
+
     # rate bias: prefer short MVs (and strongly prefer zero, which signals
     # as GLOBALMV); log-ish cost matches MV coding's class structure
-    mag = jnp.abs(shifts).astype(jnp.float32) * 4.0
-    bias = lam * (jnp.where(mag > 0, 3.0 + jnp.log2(1.0 + mag), 0.0)
-                  .sum(axis=1))
+    def mv_bias(m):
+        m = jnp.abs(m).astype(jnp.float32) * 4.0
+        return jnp.where(m > 0, 3.0 + jnp.log2(1.0 + m), 0.0)
 
-    def step(best, i):
-        dy, dx = shifts[i, 0], shifts[i, 1]
-        cand = jax.lax.dynamic_slice(pad, (r + dy, r + dx), (hq, wq))
-        sad = _block_sad(jnp.abs(src_q - cand), 4).astype(jnp.float32)
-        cost = sad + bias[i]
-        best_cost, best_idx = best
-        take = cost < best_cost
-        return (jnp.where(take, cost, best_cost),
-                jnp.where(take, i, best_idx)), None
+    bias_dy = lam * mv_bias(dys)                        # (nd,)
+    best_cost = jnp.full((rows, cols), jnp.inf, jnp.float32)
+    best_dy = jnp.zeros((rows, cols), jnp.int32)
+    best_dx = jnp.zeros((rows, cols), jnp.int32)
+    for dx in range(-r, r + 1):
+        cand = rows_sh[:, :, r + dx : r + dx + wq]      # (nd, hq, wq)
+        diff = jnp.abs(src_q[None] - cand)
+        sad = diff.reshape(nd, rows, 4, cols, 4).sum(
+            axis=(2, 4)).astype(jnp.float32)            # (nd, rows, cols)
+        cost = sad + (bias_dy + lam * mv_bias(dx))[:, None, None]
+        k = jnp.argmin(cost, axis=0)                    # (rows, cols)
+        c = jnp.min(cost, axis=0)
+        take = c < best_cost
+        best_cost = jnp.where(take, c, best_cost)
+        best_dy = jnp.where(take, dys[k], best_dy)
+        best_dx = jnp.where(take, dx, best_dx)
+    return jnp.stack([best_dy, best_dx], axis=-1) * 4   # full-res px
 
-    init = (jnp.full((rows, cols), jnp.inf, jnp.float32),
-            jnp.zeros((rows, cols), jnp.int32))
-    (_, idx), _ = jax.lax.scan(step, init, jnp.arange(shifts.shape[0]))
-    return shifts[idx] * 4                 # full-res px
+
+def _patches_select(ref, coarse_px):
+    """Per-block (_PATCH x _PATCH) reference patches at the coarse MV,
+    built WITHOUT a gather: static overlapping 48x48 block tiles (pure
+    reshape/concat), then masked selects over the coarse offset's
+    block-aligned part (5x5) and 4-px remainders (4+4).  TPU gathers run on
+    the scalar path (~10 ns/element); this formulation is pure vector
+    selects.  Bit-identical to _gather_patches(ref, coarse_px, 16,
+    _REFINE_R) — the frame-bound clamp becomes edge padding."""
+    h, w = ref.shape
+    rows, cols = h // 16, w // 16
+    R = _REFINE_R
+    # decompose coarse = 16*A + B, A in [-2, 2], B in {0, 4, 8, 12}
+    A_r = (coarse_px[..., 0] + 32) // 16 - 2
+    B_r = coarse_px[..., 0] - 16 * A_r
+    A_c = (coarse_px[..., 1] + 32) // 16 - 2
+    B_c = coarse_px[..., 1] - 16 * A_c
+
+    # 48x48 tiles starting one block above/left of each (extended) block:
+    # X[re, ce] = refp[(re-1)*16 : (re+2)*16, (ce-1)*16 : (ce+2)*16] over a
+    # +-2-block extended grid, refp edge-padded by 3 blocks
+    refp = jnp.pad(ref, 48, mode="edge")
+    rowsE, colsE = rows + 4, cols + 4
+    Bp = (refp.reshape(rows + 6, 16, cols + 6, 16)
+          .transpose(0, 2, 1, 3))                  # (rows+6, cols+6, 16, 16)
+    XR = jnp.concatenate([Bp[0:rowsE], Bp[1 : rowsE + 1],
+                          Bp[2 : rowsE + 2]], axis=2)
+    X = jnp.concatenate([XR[:, 0:colsE], XR[:, 1 : colsE + 1],
+                         XR[:, 2 : colsE + 2]], axis=3)  # (rowsE,colsE,48,48)
+
+    # block-aligned shift: 5x5 masked select (per-target-block masks)
+    Y = jnp.zeros((rows, cols, 48, 48), jnp.int32)
+    for a in range(-2, 3):
+        row_m = A_r == a
+        for a2 in range(-2, 3):
+            m = (row_m & (A_c == a2))[..., None, None]
+            Y = Y + jnp.where(
+                m, X[2 + a : 2 + a + rows, 2 + a2 : 2 + a2 + cols], 0)
+
+    # 4-px remainder: patch row k reads tile row B + 16 - R + k
+    m0 = 16 - R
+    Z = jnp.zeros((rows, cols, _PATCH, 48), jnp.int32)
+    for b in range(0, 16, 4):
+        m = (B_r == b)[..., None, None]
+        Z = Z + jnp.where(m, Y[:, :, m0 + b : m0 + b + _PATCH, :], 0)
+    P = jnp.zeros((rows, cols, _PATCH, _PATCH), jnp.int32)
+    for b in range(0, 16, 4):
+        m = (B_c == b)[..., None, None]
+        P = P + jnp.where(m, Z[..., m0 + b : m0 + b + _PATCH], 0)
+    return P
 
 
 def _gather_patches(ref, mv_px, n: int, pad_each: int):
@@ -99,25 +160,31 @@ def _gather_patches(ref, mv_px, n: int, pad_each: int):
 
 
 def _refine_search(src_b, patches, coarse_px, lam):
-    """+-_REFINE_R even-pel sweep on gathered patches.  src_b: (rows, cols,
-    16, 16); patches: (rows, cols, _PATCH, _PATCH).  Returns final
-    (rows, cols, 2) full-res px MV."""
-    offs = [(dy, dx)
-            for dy in range(-_REFINE_R, _REFINE_R + 1, 2)
-            for dx in range(-_REFINE_R, _REFINE_R + 1, 2)]
-    cands = jnp.stack([
-        patches[:, :, _REFINE_R + dy : _REFINE_R + dy + 16,
-                _REFINE_R + dx : _REFINE_R + dx + 16]
-        for dy, dx in offs])                       # (K, rows, cols, 16, 16)
-    sad = jnp.abs(src_b[None] - cands).sum(axis=(3, 4)).astype(jnp.float32)
-    off_arr = jnp.asarray(offs, jnp.int32)         # (K, 2)
-    total = coarse_px[None] + off_arr[:, None, None, :]
-    mag = jnp.abs(total).astype(jnp.float32)
-    bias = lam * jnp.where(mag > 0, 3.0 + jnp.log2(1.0 + mag), 0.0
-                           ).sum(axis=-1)
-    choice = jnp.argmin(sad + bias, axis=0)        # (rows, cols)
-    return jnp.take_along_axis(
-        total, choice[None, :, :, None], axis=0)[0]
+    """+-_REFINE_R even-pel sweep on gathered patches with an incremental
+    running minimum (no K-way candidate stack in HBM, no gather for the
+    winner).  src_b: (rows, cols, 16, 16); patches: (rows, cols, _PATCH,
+    _PATCH).  Returns final (rows, cols, 2) full-res px MV."""
+    shape = src_b.shape[:2]
+    best_cost = jnp.full(shape, jnp.inf, jnp.float32)
+    best = jnp.zeros(shape + (2,), jnp.int32)
+    best_pred = jnp.zeros_like(src_b)
+    for dy in range(-_REFINE_R, _REFINE_R + 1, 2):
+        for dx in range(-_REFINE_R, _REFINE_R + 1, 2):
+            cand = patches[:, :, _REFINE_R + dy : _REFINE_R + dy + 16,
+                           _REFINE_R + dx : _REFINE_R + dx + 16]
+            sad = jnp.abs(src_b - cand).sum(axis=(2, 3)).astype(jnp.float32)
+            total = coarse_px + jnp.asarray([dy, dx], jnp.int32)
+            mag = jnp.abs(total).astype(jnp.float32)
+            bias = lam * jnp.where(mag > 0, 3.0 + jnp.log2(1.0 + mag),
+                                   0.0).sum(axis=-1)
+            cost = sad + bias
+            take = cost < best_cost
+            best_cost = jnp.where(take, cost, best_cost)
+            best = jnp.where(take[..., None], total, best)
+            # carry the winning prediction too: luma MC comes free from the
+            # patches already in registers (saves a full-plane gather)
+            best_pred = jnp.where(take[..., None, None], cand, best_pred)
+    return best, best_pred
 
 
 def _code_plane_inter(src, pred, qindex, n: int, bit_depth: int):
@@ -160,11 +227,11 @@ def encode_inter_v(y, u, v, ref_y, ref_u, ref_v, qindex,
     ref_q = _block_sad(ref_y, 4) // 16
     coarse = _coarse_search(src_q, ref_q, lam * 16.0)
     src_b = _to_blocks(y, 16)
-    patches = _gather_patches(ref_y, coarse, 16, _REFINE_R)
-    mv_px = _refine_search(src_b, patches, coarse, lam)
+    patches = _patches_select(ref_y, coarse)
+    mv_px, pred_y = _refine_search(src_b, patches, coarse, lam)
 
-    # motion compensation (exact copies on the even full-pel grid)
-    pred_y = _gather_patches(ref_y, mv_px, 16, 0)
+    # chroma motion compensation (exact copies on the even full-pel grid;
+    # luma prediction came out of the refine sweep)
     mv_c = mv_px // 2
     pred_u = _gather_patches(ref_u, mv_c, 8, 0)
     pred_v = _gather_patches(ref_v, mv_c, 8, 0)
@@ -190,16 +257,21 @@ def inter_sizes(height: int, width: int):
 
 
 def _compact(levels_flat, mv, cap: int):
-    """[count_lo, count_hi, bitmap, vals(cap), mv_y, mv_x] int16."""
+    """[count_lo, count_hi, bitmap, vals(cap), mv_y, mv_x] int16.
+
+    Stream compaction via lax.sort (stable sort by "position if nonzero
+    else +inf") — measurably cheaper than the equivalent 3M-element
+    scatter on TPU, which serializes on the scalar core."""
     sig = levels_flat != 0
     m = sig.shape[0]
     bits = sig.reshape(m // 16, 16).astype(jnp.uint16)
     bitmap = (bits << jnp.arange(16, dtype=jnp.uint16)).sum(
         axis=-1, dtype=jnp.uint16)
-    pos = jnp.cumsum(sig.astype(jnp.int32)) - 1
-    count = pos[-1] + 1
-    vals = jnp.zeros((cap,), jnp.int16).at[
-        jnp.where(sig, pos, cap)].set(levels_flat, mode="drop")
+    count = jnp.sum(sig.astype(jnp.int32))
+    key = jnp.where(sig, jnp.arange(m, dtype=jnp.int32),
+                    jnp.int32(0x7FFFFFFF))
+    _, vals = jax.lax.sort((key, levels_flat), num_keys=1)
+    vals = vals[:cap]
     head = jnp.stack([count & 0x7FFF, count >> 15]).astype(jnp.int16)
     return jnp.concatenate([
         head, jax.lax.bitcast_convert_type(bitmap, jnp.int16), vals,
@@ -236,15 +308,11 @@ def unpack_levels_inter(bitmap: np.ndarray, vals: np.ndarray, height: int,
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "cap"))
-def encode_gop_chunk(frames_u8, ref_fused, qindex, height: int, width: int,
-                     cap: int = 131072):
-    """Scan a chunk of inter frames against a running reconstruction.
-
-    frames_u8: (K, n_pixels) fused sources (uint8/uint16; see
-    intra_v.fuse_planes); ref_fused: (n_pixels,) int32 fused recon of the
-    preceding frame.  Returns ((K, compact_len) int16 buffers,
-    final fused recon int32) — one upload and one fetch per chunk."""
-    bit_depth = 8 if frames_u8.dtype == jnp.uint8 else 10
+def _gop_step(frame_u8, ref_fused, qindex, height: int, width: int,
+              cap: int):
+    """One inter frame against the fused running recon.  Returns (compact
+    int16 buffer, new fused recon int32)."""
+    bit_depth = 8 if frame_u8.dtype == jnp.uint8 else 10
     ny = height * width
     nc = ny // 4
 
@@ -255,19 +323,37 @@ def encode_gop_chunk(frames_u8, ref_fused, qindex, height: int, width: int,
                 f[ny + nc :].reshape(height // 2, width // 2)
                 .astype(jnp.int32))
 
-    def step(ref, frame):
-        yy, uu, vv = unfuse(frame)
-        ry, ru, rv = unfuse(ref)
-        o = encode_inter_v(yy, uu, vv, ry, ru, rv, qindex,
-                           bit_depth=bit_depth)
-        flat = jnp.concatenate([o["levels_y"].reshape(-1),
-                                o["levels_u"].reshape(-1),
-                                o["levels_v"].reshape(-1)])
-        buf = _compact(flat, o["mv"], cap)
-        new_ref = jnp.concatenate([o["recon_y"].reshape(-1),
-                                   o["recon_u"].reshape(-1),
-                                   o["recon_v"].reshape(-1)])
-        return new_ref, buf
+    yy, uu, vv = unfuse(frame_u8)
+    ry, ru, rv = unfuse(ref_fused)
+    o = encode_inter_v(yy, uu, vv, ry, ru, rv, qindex, bit_depth=bit_depth)
+    flat = jnp.concatenate([o["levels_y"].reshape(-1),
+                            o["levels_u"].reshape(-1),
+                            o["levels_v"].reshape(-1)])
+    buf = _compact(flat, o["mv"], cap)
+    new_ref = jnp.concatenate([o["recon_y"].reshape(-1),
+                               o["recon_u"].reshape(-1),
+                               o["recon_v"].reshape(-1)])
+    return buf, new_ref
 
-    final_ref, bufs = jax.lax.scan(step, ref_fused, frames_u8)
-    return bufs, final_ref
+
+def encode_gop_chunk(frames_u8, ref_fused, qindex, height: int, width: int,
+                     cap: int = 131072):
+    """Encode a chunk of inter frames against a running reconstruction.
+
+    frames_u8: (K, n_pixels) fused sources (uint8/uint16; see
+    intra_v.fuse_planes); ref_fused: (n_pixels,) int32 fused recon of the
+    preceding frame.  Returns ((K, compact_len) int16 buffers, final fused
+    recon int32).  A host loop over a single-frame jit rather than
+    lax.scan: the compiled graph is the one-frame body (seconds, not
+    minutes of XLA time on the remote compile path), dispatches are async
+    so frame k's transfer overlaps frame k+1's compute, and the recon
+    carry never leaves the device."""
+    frames_u8 = jnp.asarray(frames_u8)
+    bufs = []
+    ref = ref_fused
+    for k in range(frames_u8.shape[0]):
+        buf, ref = _gop_step(frames_u8[k], ref, qindex, height, width, cap)
+        bufs.append(buf)
+    # a list, not a stacked array: callers fetch frame k's buffer while
+    # frames k+1.. are still computing (async dispatch)
+    return bufs, ref

@@ -468,13 +468,8 @@ def _encode_chroma_dual(src, split, split64, qindex, bit_depth: int = 8):
             out["lv32"].reshape(rows32c, cols32c, 32, 32))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("height", "width", "cap"))
-def encode_intra_part_compact(frame_u8, qindex, height: int, width: int,
-                              cap: int = 163840):
-    """Compact transport for the partition pipeline: ONE int16 buffer
-    [count_lo, count_hi, bitmap over the section layout
-    (y16|y32|u8|v8|u16|v16), values (cap), modes16, modes32, split]."""
+def _part_compact_and_recon(frame_u8, qindex, height: int, width: int,
+                            cap: int):
     bit_depth = 8 if frame_u8.dtype == jnp.uint8 else 10
     ny = height * width
     nc = ny // 4
@@ -506,12 +501,35 @@ def encode_intra_part_compact(frame_u8, qindex, height: int, width: int,
     vals = jnp.zeros((cap,), jnp.int16).at[
         jnp.where(sig, pos, cap)].set(flat, mode="drop")
     head = jnp.stack([count & 0x7FFF, count >> 15]).astype(jnp.int16)
-    return jnp.concatenate([
+    buf = jnp.concatenate([
         head, jax.lax.bitcast_convert_type(bitmap, jnp.int16), vals,
         o["modes16"].reshape(-1).astype(jnp.int16),
         o["modes32"].reshape(-1).astype(jnp.int16),
         o["split"].reshape(-1).astype(jnp.int16),
         o["split64"].reshape(-1).astype(jnp.int16)])
+    recon = jnp.concatenate([o["recon_y"].reshape(-1),
+                             o["recon_u"].reshape(-1),
+                             o["recon_v"].reshape(-1)]).astype(jnp.int32)
+    return buf, recon
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "cap"))
+def encode_intra_part_compact(frame_u8, qindex, height: int, width: int,
+                              cap: int = 163840):
+    """Compact transport for the partition pipeline: ONE int16 buffer
+    [count_lo, count_hi, bitmap over the section layout
+    (y16|y32|u8|v8|u16|v16), values (cap), modes16, modes32, split]."""
+    return _part_compact_and_recon(frame_u8, qindex, height, width, cap)[0]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "cap"))
+def encode_intra_key_recon(frame_u8, qindex, height: int, width: int,
+                           cap: int = 163840):
+    """Keyframe for a GOP: compact transport + fused int32 reconstruction
+    (kept on device as the inter scan's starting reference)."""
+    return _part_compact_and_recon(frame_u8, qindex, height, width, cap)
 
 
 @functools.partial(jax.jit,

@@ -337,6 +337,43 @@ def encode_intra_v_compact(frame_u8, qindex: int, height: int, width: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("height", "width", "cap", "rdo"))
+def encode_intra_v_key_recon(frame_u8, qindex: int, height: int, width: int,
+                             cap: int = 163840, rdo: bool = True):
+    """Fast-preset keyframe for a GOP: compact transport + fused int32
+    reconstruction (device-resident reference for the inter scan)."""
+    bit_depth = 8 if frame_u8.dtype == jnp.uint8 else 10
+    ny = height * width
+    nc = ny // 4
+    y = frame_u8[:ny].reshape(height, width).astype(jnp.int32)
+    u = frame_u8[ny : ny + nc].reshape(height // 2,
+                                       width // 2).astype(jnp.int32)
+    v = frame_u8[ny + nc :].reshape(height // 2,
+                                    width // 2).astype(jnp.int32)
+    o = encode_intra_v(y, u, v, qindex, bit_depth=bit_depth, rdo=rdo)
+    flat = jnp.concatenate([o["levels_y"].reshape(-1),
+                            o["levels_u"].reshape(-1),
+                            o["levels_v"].reshape(-1)])
+    sig = flat != 0
+    m = sig.shape[0]
+    bits = sig.reshape(m // 16, 16).astype(jnp.uint16)
+    bitmap = (bits << jnp.arange(16, dtype=jnp.uint16)).sum(
+        axis=-1, dtype=jnp.uint16)
+    pos = jnp.cumsum(sig.astype(jnp.int32)) - 1
+    count = pos[-1] + 1
+    vals = jnp.zeros((cap,), jnp.int16).at[
+        jnp.where(sig, pos, cap)].set(flat, mode="drop")
+    head = jnp.stack([count & 0x7FFF, count >> 15]).astype(jnp.int16)
+    buf = jnp.concatenate([head,
+                           jax.lax.bitcast_convert_type(bitmap, jnp.int16),
+                           vals, o["modes"].reshape(-1).astype(jnp.int16)])
+    recon = jnp.concatenate([o["recon_y"].reshape(-1),
+                             o["recon_u"].reshape(-1),
+                             o["recon_v"].reshape(-1)]).astype(jnp.int32)
+    return buf, recon
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "cap", "rdo"))
 def encode_intra_v_chunk(frames_u8, qindex: int, height: int, width: int,
                          cap: int = 163840, rdo: bool = True):
     """Chunked production variant: frames_u8 is (K, n_pixels) fused uint8

@@ -245,6 +245,46 @@ struct Tile {
         }
     }
 
+    // inter-frame tables + per-mi neighbor state (pack_tile_inter)
+    Cdf intra_inter_c[4];
+    Cdf single_ref_c[3][6];
+    Cdf newmv_c[6], zeromv_c[2], refmv_c[6], drl_c[3];
+    Cdf mv_joints_c, mv_sign_c[2], mv_classes_c[2], mv_class0_c[2];
+    Cdf mv_class0_fp_c[2][2], mv_fp_c[2], mv_bits_c[2][10];
+    Cdf inter_tx3_c[4];
+    std::vector<int32_t> mi_mv_r, mi_mv_c;   // per mi unit, 1/8-pel
+    std::vector<int8_t> mi_newmv;            // per mi unit
+    std::vector<int8_t> mi_coded;            // per mi unit (inter coded)
+
+    void init_inter() {
+        for (int i = 0; i < 4; i++)
+            intra_inter_c[i].init(&tab_intra_inter[i][0], 2);
+        for (int i = 0; i < 3; i++)
+            for (int j = 0; j < 6; j++)
+                single_ref_c[i][j].init(&tab_single_ref[i][j][0], 2);
+        for (int i = 0; i < 6; i++) newmv_c[i].init(&tab_newmv[i][0], 2);
+        for (int i = 0; i < 2; i++) zeromv_c[i].init(&tab_zeromv[i][0], 2);
+        for (int i = 0; i < 6; i++) refmv_c[i].init(&tab_refmv[i][0], 2);
+        for (int i = 0; i < 3; i++) drl_c[i].init(&tab_drl[i][0], 2);
+        mv_joints_c.init(&tab_mv_joints[0], 4);
+        for (int comp = 0; comp < 2; comp++) {
+            mv_sign_c[comp].init(&tab_mv_sign[0], 2);
+            mv_classes_c[comp].init(&tab_mv_classes[0], 11);
+            mv_class0_c[comp].init(&tab_mv_class0[0], 2);
+            for (int b = 0; b < 2; b++)
+                mv_class0_fp_c[comp][b].init(&tab_mv_class0_fp[b][0], 4);
+            mv_fp_c[comp].init(&tab_mv_fp[0], 4);
+            for (int i = 0; i < 10; i++)
+                mv_bits_c[comp][i].init(&tab_mv_bits[i][0], 2);
+        }
+        for (int i = 0; i < 4; i++)
+            inter_tx3_c[i].init(&tab_inter_tx3[i][0], 2);
+        mi_mv_r.assign((size_t)mi_rows * mi_cols, 0);
+        mi_mv_c.assign((size_t)mi_rows * mi_cols, 0);
+        mi_newmv.assign((size_t)mi_rows * mi_cols, 0);
+        mi_coded.assign((size_t)mi_rows * mi_cols, 0);
+    }
+
     int part_ctx(int r, int c, int bsl) {
         int above = r > 0 ? (above_part[c] >> bsl) & 1 : 0;
         int left = c > 0 ? (left_part[r] >> bsl) & 1 : 0;
@@ -280,7 +320,7 @@ static int compute_eob(const int32_t *lv, const int32_t *scan, int ncoef) {
 
 static void code_coeffs(Tile &T, int plane, int x, int y, int n,
                         const int32_t *lv, int tx_type_sym, int y_mode,
-                        int n_ctx = 0) {
+                        int n_ctx = 0, bool is_inter = false) {
     // n = coded dim (8/16/32); n_ctx = tx dim (== n except TX_64X64 luma,
     // where the tx is 64 but only the top-left 32x32 is coded)
     if (!n_ctx) n_ctx = n;
@@ -314,9 +354,15 @@ static void code_coeffs(Tile &T, int plane, int x, int y, int n,
         return;
     }
     if (plane == 0 && n == 16 && n_ctx == 16) {
-        // tx type, intra set 2 (16x16), cdf indexed by [tx_sqr][y mode];
-        // 32x32 is tx-set 0 (DCT only, no symbol), chroma types are derived
-        T.co.sym(T.ext_tx2[2][y_mode], tx_type_sym);
+        if (is_inter) {
+            // inter tx set 3 (reduced): {IDTX, DCT_DCT}; DCT index 1
+            // (av1tpu/spec/tile.py:911 _code_tx_type_inter)
+            T.co.sym(T.inter_tx3_c[2], 1);
+        } else {
+            // tx type, intra set 2 (16x16), cdf indexed by [tx_sqr][y mode];
+            // 32x32 is tx-set 0 (DCT only), chroma types are derived
+            T.co.sym(T.ext_tx2[2][y_mode], tx_type_sym);
+        }
     }
     // eob_pt (the 1024-coef table stores the 2D-class row first; smaller
     // tables store it second — see av1tpu/spec/tile.py is_1d_ctx)
@@ -721,6 +767,363 @@ static void code_partition(Tile &T, Grids &G, int r, int c, int bsl) {
     code_partition(T, G, r + half, c + half, bsl - 1);
 }
 
+/* inter frame -------------------------------------------------------- */
+/* Uniform 16x16 inter/LAST grid (the TPU inter pipeline's shape,
+ * av1tpu/models/inter_v.py).  Ports the spec engine's MV stack
+ * (av1tpu/spec/mv.py MvStackBuilder) specialized to bw4=bh4=4 and
+ * all-coded-blocks-inter; byte-identical to the Python engine
+ * (tests/test_inter_packer.py). */
+
+constexpr int REF_CAT_LEVEL = 640;
+constexpr int MV_BORDER = 128;
+
+struct MvStack {
+    int mv[8][2];
+    int weights[8];
+    int len = 0;          // real candidates found
+    int num_found = 0;    // == len (global padding does not count)
+    int new_mv_ctx = 0, ref_mv_ctx = 0, zero_mv_ctx = 0;
+    int new_mv_count = 0;
+    bool found_match = false;
+
+    void add(Tile &T, int mr, int mc, int weight) {
+        size_t i = (size_t)mr * T.mi_cols + mc;
+        if (!T.mi_coded[i]) return;
+        int cr = T.mi_mv_r[i], cc = T.mi_mv_c[i];
+        int idx = -1;
+        for (int k = 0; k < len; k++)
+            if (mv[k][0] == cr && mv[k][1] == cc) { idx = k; break; }
+        if (idx >= 0) weights[idx] += weight;
+        else if (len < 8) {
+            mv[len][0] = cr; mv[len][1] = cc; weights[len++] = weight;
+        }
+        if (T.mi_newmv[i]) new_mv_count++;
+        found_match = true;
+    }
+
+    void add_extra(Tile &T, int mr, int mc) {
+        size_t i = (size_t)mr * T.mi_cols + mc;
+        if (!T.mi_coded[i]) return;
+        if (len >= 2) return;
+        int cr = T.mi_mv_r[i], cc = T.mi_mv_c[i];
+        for (int k = 0; k < len; k++)
+            if (mv[k][0] == cr && mv[k][1] == cc) return;
+        mv[len][0] = cr; mv[len][1] = cc; weights[len++] = 2;
+    }
+};
+
+static int drl_ctx_of(const MvStack &st, int idx) {
+    bool a = st.weights[idx] >= REF_CAT_LEVEL;
+    bool b = st.weights[idx + 1] >= REF_CAT_LEVEL;
+    if (a && b) return 0;
+    if (a && !b) return 1;
+    if (!a && !b) return 2;
+    return 0;
+}
+
+// bw4 == bh4 == 4, every coded mi is inter/LAST 16x16
+static void build_mv_stack(Tile &T, int r, int c, MvStack &st) {
+    const int bw4 = 4, bh4 = 4;
+    bool has_above = r > 0, has_left = c > 0;
+    int max_row_offset = 0, max_col_offset = 0;
+    if (has_above) {
+        max_row_offset = -6;                 // -(MVREF_ROW_COLS << 1)
+        if (max_row_offset < -r) max_row_offset = -r;
+    }
+    if (has_left) {
+        max_col_offset = -6;
+        if (max_col_offset < -c) max_col_offset = -c;
+    }
+
+    int processed_rows = 0, processed_cols = 0;
+    bool found_above = false, found_left = false;
+
+    // scan_row / scan_col for the uniform grid: one candidate per scan
+    // (length = min(bw4, n4w) = 4 covers end4 in one step)
+    auto scan_row = [&](int delta_row) {
+        int delta_col = 0;
+        int dr = delta_row;
+        if (dr < -1 || dr > 1) {             // |delta_row| > 1
+            dr += r & 1;                     // r % 4 == 0 -> unchanged
+            delta_col = 1 - (c & 1);         // c % 4 == 0 -> 1
+        }
+        int mr = r + dr, mc = c + delta_col;
+        if (mr < 0 || mc < 0 || mr >= T.mi_rows || mc >= T.mi_cols) return 0;
+        int weight = 2;
+        int inc = -max_row_offset + dr + 1;
+        if (inc > 4) inc = 4;
+        if (inc > weight) weight = inc;
+        int np = inc - dr - 1;
+        st.add(T, mr, mc, 4 * weight);
+        return np;
+    };
+    auto scan_col = [&](int delta_col) {
+        int delta_row = 0;
+        int dc = delta_col;
+        if (dc < -1 || dc > 1) {
+            delta_row = 1 - (r & 1);
+            dc += c & 1;
+        }
+        int mr = r + delta_row, mc = c + dc;
+        if (mr < 0 || mc < 0 || mr >= T.mi_rows || mc >= T.mi_cols) return 0;
+        int weight = 2;
+        int inc = -max_col_offset + dc + 1;
+        if (inc > 4) inc = 4;
+        if (inc > weight) weight = inc;
+        int np = inc - dc - 1;
+        st.add(T, mr, mc, 4 * weight);
+        return np;
+    };
+
+    if (max_row_offset) {
+        st.found_match = false;
+        processed_rows = scan_row(-1);
+        found_above |= st.found_match;
+    }
+    if (max_col_offset) {
+        st.found_match = false;
+        processed_cols = scan_col(-1);
+        found_left |= st.found_match;
+    }
+    // top-right point (max(bw4,bh4) <= 16 always)
+    if (r - 1 >= 0 && c + bw4 < T.mi_cols) {
+        st.found_match = false;
+        st.add(T, r - 1, c + bw4, 4);
+        found_above |= st.found_match;
+    }
+
+    int close_matches = (int)found_above + (int)found_left;
+    int num_nearest = st.len;
+    int num_new = st.new_mv_count;
+    for (int i = 0; i < num_nearest; i++) st.weights[i] += REF_CAT_LEVEL;
+    st.zero_mv_ctx = 0;                     // no temporal MVs
+
+    // top-left point
+    if (r - 1 >= 0 && c - 1 >= 0) {
+        st.found_match = false;
+        st.add(T, r - 1, c - 1, 4);
+        found_above |= st.found_match;
+    }
+
+    for (int idx = 2; idx <= 3; idx++) {
+        int row_offset = -(idx << 1) + 1;   // -3, -5 (adj terms are 0)
+        int col_offset = -(idx << 1) + 1;
+        int aro = -row_offset, amr = -max_row_offset;
+        if (aro <= amr && aro > processed_rows) {
+            st.found_match = false;
+            int np = scan_row(row_offset);
+            if (np > processed_rows) processed_rows = np;
+            found_above |= st.found_match;
+        }
+        int aco = -col_offset, amc = -max_col_offset;
+        if (aco <= amc && aco > processed_cols) {
+            st.found_match = false;
+            int np = scan_col(col_offset);
+            if (np > processed_cols) processed_cols = np;
+            found_left |= st.found_match;
+        }
+    }
+
+    int total_matches = (int)found_above + (int)found_left;
+    if (close_matches == 0) {
+        st.new_mv_ctx = total_matches < 1 ? total_matches : 1;
+        st.ref_mv_ctx = total_matches;
+    } else if (close_matches == 1) {
+        st.new_mv_ctx = 3 - (num_new < 1 ? num_new : 1);
+        st.ref_mv_ctx = 2 + total_matches;
+    } else {
+        st.new_mv_ctx = 5 - (num_new < 1 ? num_new : 1);
+        st.ref_mv_ctx = 5;
+    }
+
+    // stable sort by weight: nearest segment, then the rest
+    auto stable_sort = [&](int lo, int hi) {
+        for (int i = lo + 1; i < hi; i++) {
+            int wv = st.weights[i], m0 = st.mv[i][0], m1 = st.mv[i][1];
+            int j = i - 1;
+            while (j >= lo && st.weights[j] < wv) {
+                st.weights[j + 1] = st.weights[j];
+                st.mv[j + 1][0] = st.mv[j][0];
+                st.mv[j + 1][1] = st.mv[j][1];
+                j--;
+            }
+            st.weights[j + 1] = wv; st.mv[j + 1][0] = m0;
+            st.mv[j + 1][1] = m1;
+        }
+    };
+    stable_sort(0, num_nearest);
+    stable_sort(num_nearest, st.len);
+
+    if (st.len < 2) {
+        // extra single-ref fill: one candidate above, one left
+        if (has_above && st.len < 2) st.add_extra(T, r - 1, c);
+        if (has_left && st.len < 2) st.add_extra(T, r, c - 1);
+    }
+    st.num_found = st.len;
+    while (st.len < 2) {                    // global-mv padding (not counted)
+        st.mv[st.len][0] = 0; st.mv[st.len][1] = 0;
+        st.weights[st.len++] = 2;
+    }
+
+    // clamp to the motion-range border
+    int border_w = MV_BORDER + bw4 * 4 * 8;
+    int border_h = MV_BORDER + bh4 * 4 * 8;
+    int lo_r = -r * 32 - border_h;
+    int hi_r = (T.mi_rows - bh4 - r) * 32 + border_h;
+    int lo_c = -c * 32 - border_w;
+    int hi_c = (T.mi_cols - bw4 - c) * 32 + border_w;
+    for (int i = 0; i < st.len; i++) {
+        if (st.mv[i][0] < lo_r) st.mv[i][0] = lo_r;
+        if (st.mv[i][0] > hi_r) st.mv[i][0] = hi_r;
+        if (st.mv[i][1] < lo_c) st.mv[i][1] = lo_c;
+        if (st.mv[i][1] > hi_c) st.mv[i][1] = hi_c;
+    }
+}
+
+// one MV component difference (spec 5.11.32; allow_high_precision_mv=0,
+// so the hp bit is implied 1 and magnitudes must be even 1/8-pel)
+static void code_mv_component(Tile &T, int comp, int value) {
+    int sign = value < 0;
+    int mag = sign ? -value : value;
+    int z = mag - 1;
+    int mv_class = z < 16 ? 0 : 31 - __builtin_clz((unsigned)(z >> 3));
+    T.co.sym(T.mv_sign_c[comp], sign);
+    T.co.sym(T.mv_classes_c[comp], mv_class);
+    if (mv_class == 0) {
+        int bit = z >> 3;
+        int fr = (z >> 1) & 3;
+        T.co.sym(T.mv_class0_c[comp], bit);
+        T.co.sym(T.mv_class0_fp_c[comp][bit], fr);
+    } else {
+        int base = 2 << (mv_class + 2);
+        int rem = z - base;
+        int d = rem >> 3;
+        int fr = (rem >> 1) & 3;
+        for (int i = 0; i < mv_class; i++)
+            T.co.sym(T.mv_bits_c[comp][i], (d >> i) & 1);
+        T.co.sym(T.mv_fp_c[comp], fr);
+    }
+}
+
+static void code_mv(Tile &T, const int *pred, const int *mvv) {
+    int dr = mvv[0] - pred[0], dc = mvv[1] - pred[1];
+    int joint = dr ? (dc ? 3 : 2) : (dc ? 1 : 0);
+    T.co.sym(T.mv_joints_c, joint);
+    if (dr) code_mv_component(T, 0, dr);
+    if (dc) code_mv_component(T, 1, dc);
+}
+
+enum { M_NEARESTMV = 0, M_NEARMV = 1, M_GLOBALMV = 2, M_NEWMV = 3 };
+
+static void code_block_inter(Tile &T, Grids &G, const int16_t *mv_rows,
+                             const int16_t *mv_cols, int r, int c) {
+    int by = r / 4, bx = c / 4;
+    G.load(by, bx);
+    size_t b = (size_t)by * G.bcols + bx;
+    int mvv[2] = {mv_rows[b], mv_cols[b]};
+
+    MvStack st;
+    build_mv_stack(T, r, c, st);
+
+    // cheapest signaling for this MV against the stack
+    // (av1tpu/models/inter_host.py InterReplayPlanner)
+    int mode, ref_mv_idx = 0;
+    if (mvv[0] == 0 && mvv[1] == 0) mode = M_GLOBALMV;
+    else if (st.num_found >= 1 && mvv[0] == st.mv[0][0]
+             && mvv[1] == st.mv[0][1]) mode = M_NEARESTMV;
+    else if (st.num_found >= 2 && mvv[0] == st.mv[1][0]
+             && mvv[1] == st.mv[1][1]) mode = M_NEARMV;
+    else mode = M_NEWMV;
+
+    int skip = G.zy && G.zu && G.zv;
+    int sctx = (r > 0 ? T.above_skip[c] : 0) + (c > 0 ? T.left_skip[r] : 0);
+    T.co.sym(T.skip[sctx], skip);
+
+    // intra_inter: every neighbor is inter, so the ctx is always 0
+    // (av1tpu/spec/tile.py:363 _intra_inter_ctx)
+    T.co.sym(T.intra_inter_c[0], 1);
+
+    // single-ref tree, all bits 0 (LAST); ctx from neighbor LAST counts
+    int cnt = (r > 0 ? 1 : 0) + (c > 0 ? 1 : 0);
+    int ctx_b1 = cnt == 0 ? 1 : 2;           // fwd vs bwd(=0)
+    T.co.sym(T.single_ref_c[ctx_b1][0], 0);
+    T.co.sym(T.single_ref_c[ctx_b1][2], 0);  // LAST/LAST2 vs LAST3/GOLDEN
+    T.co.sym(T.single_ref_c[ctx_b1][3], 0);  // LAST vs LAST2
+
+    // inter mode tree (newmv / zeromv / refmv)
+    T.co.sym(T.newmv_c[st.new_mv_ctx], mode != M_NEWMV);
+    if (mode != M_NEWMV) {
+        T.co.sym(T.zeromv_c[st.zero_mv_ctx], mode != M_GLOBALMV);
+        if (mode != M_GLOBALMV)
+            T.co.sym(T.refmv_c[st.ref_mv_ctx], mode != M_NEARESTMV);
+    }
+    // DRL (ref_mv_idx always 0)
+    if (mode == M_NEWMV) {
+        for (int idx = 0; idx < 2; idx++)
+            if (st.num_found > idx + 1) {
+                T.co.sym(T.drl_c[drl_ctx_of(st, idx)], ref_mv_idx != idx);
+                if (ref_mv_idx == idx) break;
+            }
+    } else if (mode == M_NEARMV) {
+        for (int idx = 1; idx < 3; idx++)
+            if (st.num_found > idx + 1) {
+                T.co.sym(T.drl_c[drl_ctx_of(st, idx)],
+                         ref_mv_idx + 1 != idx);
+                if (ref_mv_idx + 1 == idx) break;
+            }
+    }
+    if (mode == M_NEWMV) code_mv(T, st.mv[ref_mv_idx], mvv);
+
+    // neighbor state updates
+    for (int i = 0; i < 4; i++) {
+        T.above_skip[c + i] = skip;
+        T.left_skip[r + i] = skip;
+    }
+    for (int dr2 = 0; dr2 < 4; dr2++)
+        for (int dc2 = 0; dc2 < 4; dc2++) {
+            size_t i = (size_t)(r + dr2) * T.mi_cols + c + dc2;
+            T.mi_mv_r[i] = mvv[0]; T.mi_mv_c[i] = mvv[1];
+            T.mi_newmv[i] = mode == M_NEWMV;
+            T.mi_coded[i] = 1;
+        }
+
+    if (!skip) {
+        code_coeffs(T, 0, c * 4, r * 4, 16, G.sy, 0, 0, 16, true);
+        code_coeffs(T, 1, c * 2, r * 2, 8, G.su, 0, 0);
+        code_coeffs(T, 2, c * 2, r * 2, 8, G.sv, 0, 0);
+    } else {
+        for (int p = 0; p < 3; p++) {
+            int sub = p ? 1 : 0;
+            int x4 = (c * 4 >> sub) >> 2, y4 = (r * 4 >> sub) >> 2;
+            int w4 = (16 >> sub) >> 2;
+            for (int i = 0; i < w4; i++) {
+                T.a_lvl[p][x4 + i] = 0; T.a_dc[p][x4 + i] = 0;
+                T.l_lvl[p][y4 + i] = 0; T.l_dc[p][y4 + i] = 0;
+            }
+        }
+    }
+    T.update_part_ctx(r, c, 4, 4, 2, 2);
+}
+
+static void code_partition_inter(Tile &T, Grids &G, const int16_t *mv_rows,
+                                 const int16_t *mv_cols, int r, int c,
+                                 int bsl) {
+    if (r >= T.mi_rows || c >= T.mi_cols) return;
+    int ctx = (bsl - 1) * 4 + T.part_ctx(r, c, bsl);
+    if (bsl == 2) {
+        T.co.sym(T.partition[ctx], 0);      // NONE
+        code_block_inter(T, G, mv_rows, mv_cols, r, c);
+        return;
+    }
+    T.co.sym(T.partition[ctx], 3);          // SPLIT
+    int half = 1 << (bsl - 1);
+    code_partition_inter(T, G, mv_rows, mv_cols, r, c, bsl - 1);
+    code_partition_inter(T, G, mv_rows, mv_cols, r, c + half, bsl - 1);
+    code_partition_inter(T, G, mv_rows, mv_cols, r + half, c, bsl - 1);
+    code_partition_inter(T, G, mv_rows, mv_cols, r + half, c + half,
+                         bsl - 1);
+}
+
 }  // namespace
 
 extern "C" {
@@ -767,6 +1170,27 @@ size_t pack_tile_v3(const uint16_t *bitmap, const int16_t *vals,
     for (int r = 0; r < mi_rows; r += 16)
         for (int c = 0; c < mi_cols; c += 16)
             code_partition_part(T, G, r, c, 4);
+    return T.co.ec.done(out, cap);
+}
+
+// inter tile: uniform 16x16 inter/LAST blocks; compact levels layout
+// [y16 | u8 | v8] (see av1tpu/models/inter_v.py _compact) + per-block MV
+// grids in 1/8-pel units
+size_t pack_tile_inter(const uint16_t *bitmap, const int16_t *vals,
+                       const int16_t *mv_rows, const int16_t *mv_cols,
+                       int mi_rows, int mi_cols, int qindex,
+                       int disable_update, uint8_t *out, size_t cap) {
+    Tile T;
+    T.init(qindex, mi_rows, mi_cols);
+    T.init_inter();
+    T.co.update = !disable_update;
+    Grids G;
+    G.bitmap = bitmap; G.vals = vals;
+    G.bcols = mi_cols / 4; G.brows = mi_rows / 4;
+    G.build_offsets();
+    for (int r = 0; r < mi_rows; r += 16)
+        for (int c = 0; c < mi_cols; c += 16)
+            code_partition_inter(T, G, mv_rows, mv_cols, r, c, 4);
     return T.co.ec.done(out, cap);
 }
 

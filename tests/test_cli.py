@@ -38,7 +38,7 @@ def test_cli_mkv_to_mkv_preserves_audio(tmp_path):
         [sys.executable, "-m", "av1tpu.cli", "encode", "-i", src, "-o", out,
          "--qindex", "140", "--preset", "fast", "--chunk", "2"],
         capture_output=True, text=True, cwd=REPO, env=_cli_env(),
-        timeout=600)
+        timeout=900)
     assert r.returncode == 0, r.stdout + r.stderr
     lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
     stats = json.loads(lines[-1])

@@ -28,6 +28,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 AV1_TOOL = os.path.join(REPO, "native", "build", "av1_tool")
 
 
+class _CapacityExceeded(RuntimeError):
+    """Compact-transport value list overflowed; retry with a larger cap."""
+
+    def __init__(self, count: int):
+        super().__init__(f"compact capacity exceeded ({count} values)")
+        self.count = count
+
+
 def _pad_plane(a: np.ndarray, h: int, w: int) -> np.ndarray:
     out = np.zeros((h, w), np.int32)
     ah, aw = a.shape
@@ -55,7 +63,10 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
 
     from av1tpu.coding import Packer
     from av1tpu.models.cq import cq_search, probe_quality
-    from av1tpu.models.inter_v import encode_gop_chunk, split_compact_inter
+    from av1tpu.models.inter_v import (
+        encode_gop_chunk, encode_gop_chunk_part, split_compact_inter,
+        split_compact_inter_part,
+    )
     from av1tpu.models.intra_part import (
         encode_intra_key_recon, encode_intra_part_chunk, split_compact_part,
     )
@@ -117,16 +128,18 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             (count, bm, vals, m16, m32, sp,
              sp64) = split_compact_part(buf, ch, cw)
             if count > len(vals):
-                raise RuntimeError("compact capacity exceeded")
+                raise _CapacityExceeded(count)
             tile = packer.pack_tile_part(bm, vals, m16, m32, sp, sp64,
                                          ch, cw, q)
         else:
             count, bm, vals, modes = split_compact(buf, ch, cw)
             if count > len(vals):
-                raise RuntimeError("compact capacity exceeded")
+                raise _CapacityExceeded(count)
             tile = packer.pack_tile_compact(bm, vals, ch, cw, q,
                                             modes=modes)
         return _wrap_tu(tile, cw, ch, width, height, q, bd)
+
+    ncoef = ch * cw + 2 * (ch // 2) * (cw // 2)
 
     if gop:
         for s0, e0 in segments:
@@ -136,10 +149,18 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             fused0 = fuse_planes(*planes0, bit_depth=bd)
             key_fn = (encode_intra_key_recon if partitions
                       else encode_intra_v_key_recon)
-            buf, ref = key_fn(jax.device_put(fused0), q, ch, cw)
-            streams.append(pack_key(np.asarray(buf), q))
+            key_cap = 163840
+            while True:  # low-q keyframes can exceed the value capacity:
+                buf, ref = key_fn(jax.device_put(fused0), q, ch, cw,
+                                  cap=key_cap)
+                try:
+                    streams.append(pack_key(np.asarray(buf), q))
+                    break
+                except _CapacityExceeded as e:  # retry, doubled transport
+                    key_cap = min(max(key_cap * 2, e.count), ncoef)
             if progress:
                 progress(s0 + 1, n)
+            cap = inter_cap
             for base in range(s0 + 1, e0, chunk):
                 k = min(chunk, e0 - base)
                 fused = np.stack([
@@ -148,18 +169,38 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                 if k < chunk:  # keep one compiled shape; the tail's carry
                     fused = np.concatenate(  # feeds only the next keyframe
                         [fused, np.repeat(fused[-1:], chunk - k, axis=0)])
-                bufs, ref = encode_gop_chunk(jax.device_put(fused), ref, q,
-                                             ch, cw, cap=inter_cap)
-                for i in range(k):
-                    # per-frame fetch: frame i's transfer + host pack
-                    # overlap frames i+1..'s TPU compute (async dispatch)
-                    count, bm, vals, mv = split_compact_inter(
-                        np.asarray(bufs[i]), ch, cw)
-                    if count > len(vals):
-                        raise RuntimeError("compact capacity exceeded")
-                    tile = packer.pack_tile_inter(bm, vals, mv, ch, cw, q)
-                    streams.append(_wrap_tu_inter(tile, cw, ch, width,
-                                                  height, q, bd))
+                ref_in = ref
+                gop_fn = (encode_gop_chunk_part if partitions
+                          else encode_gop_chunk)
+                while True:
+                    bufs, ref = gop_fn(jax.device_put(fused), ref_in, q,
+                                       ch, cw, cap=cap)
+                    tus = []
+                    try:
+                        for i in range(k):
+                            # per-frame fetch: frame i's transfer + host
+                            # pack overlap frames i+1..'s TPU compute
+                            buf = np.asarray(bufs[i])
+                            if partitions:
+                                (count, bm, vals, s32, s64,
+                                 mv) = split_compact_inter_part(buf, ch, cw)
+                                if count > len(vals):
+                                    raise _CapacityExceeded(count)
+                                tile = packer.pack_tile_inter_part(
+                                    bm, vals, s32, s64, mv, ch, cw, q)
+                            else:
+                                count, bm, vals, mv = split_compact_inter(
+                                    buf, ch, cw)
+                                if count > len(vals):
+                                    raise _CapacityExceeded(count)
+                                tile = packer.pack_tile_inter(bm, vals, mv,
+                                                              ch, cw, q)
+                            tus.append(_wrap_tu_inter(tile, cw, ch, width,
+                                                      height, q, bd))
+                        break
+                    except _CapacityExceeded as e:
+                        cap = min(max(cap * 2, e.count), ncoef)
+                streams.extend(tus)
                 if progress:
                     progress(base + k, n)
     else:
@@ -180,15 +221,18 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                 q = select_q(planes[0])
             q_used.append(q)
 
-            if partitions:
-                bufs = np.asarray(
-                    encode_intra_part_chunk(jax.device_put(fused), q, ch,
-                                            cw))
-            else:
-                bufs = np.asarray(
-                    encode_intra_v_chunk(jax.device_put(fused), q, ch, cw))
-            for i in range(k):
-                streams.append(pack_key(bufs[i], q))
+            chunk_fn = (encode_intra_part_chunk if partitions
+                        else encode_intra_v_chunk)
+            cap = 163840
+            while True:
+                bufs = np.asarray(chunk_fn(jax.device_put(fused), q, ch,
+                                           cw, cap=cap))
+                try:
+                    tus = [pack_key(bufs[i], q) for i in range(k)]
+                    break
+                except _CapacityExceeded as e:
+                    cap = min(max(cap * 2, e.count), ncoef)
+            streams.extend(tus)
             if progress:
                 progress(base + k, n)
 

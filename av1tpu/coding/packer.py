@@ -36,6 +36,13 @@ class Packer:
                       [ctypes.c_int] * 4 + \
                       [ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t]
         self._fn3 = f3
+        fp = self._lib.pack_tile_inter_part
+        fp.restype = ctypes.c_size_t
+        fp.argtypes = [ctypes.POINTER(ctypes.c_uint16)] + \
+                      [ctypes.POINTER(ctypes.c_int16)] * 5 + \
+                      [ctypes.c_int] * 4 + \
+                      [ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t]
+        self._fnp = fp
         fi = self._lib.pack_tile_inter
         fi.restype = ctypes.c_size_t
         fi.argtypes = [ctypes.POINTER(ctypes.c_uint16)] + \
@@ -124,6 +131,35 @@ class Packer:
                       int(disable_cdf_update), out, cap)
         if n == 0:
             raise RuntimeError("pack_tile_inter failed (buffer too small?)")
+        return bytes(bytearray(out)[:n])
+
+    def pack_tile_inter_part(self, bitmap: np.ndarray, vals: np.ndarray,
+                             split32: np.ndarray, split64: np.ndarray,
+                             mv: np.ndarray, height: int, width: int,
+                             qindex: int,
+                             disable_cdf_update: bool = False) -> bytes:
+        """Pack one partitioned inter tile (union-layout compact form from
+        encode_inter_part/_gop_step_part + split maps + MV grid)."""
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        bm = np.ascontiguousarray(bitmap, np.uint16)
+        vv = np.ascontiguousarray(vals, np.int16)
+        s32 = np.ascontiguousarray(np.asarray(split32).reshape(-1),
+                                   np.int16)
+        s64 = np.ascontiguousarray(np.asarray(split64).reshape(-1),
+                                   np.int16)
+        mv = np.asarray(mv)
+        mvr = np.ascontiguousarray(mv[..., 0].reshape(-1), np.int16)
+        mvc = np.ascontiguousarray(mv[..., 1].reshape(-1), np.int16)
+        cap = height * width * 8 + 65536
+        out = (ctypes.c_uint8 * cap)()
+        n = self._fnp(bm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                      vv.ctypes.data_as(i16p), s32.ctypes.data_as(i16p),
+                      s64.ctypes.data_as(i16p), mvr.ctypes.data_as(i16p),
+                      mvc.ctypes.data_as(i16p),
+                      height // 4, width // 4, qindex,
+                      int(disable_cdf_update), out, cap)
+        if n == 0:
+            raise RuntimeError("pack_tile_inter_part failed")
         return bytes(bytearray(out)[:n])
 
     def pack_tile_part(self, bitmap: np.ndarray, vals: np.ndarray,

@@ -24,6 +24,18 @@ from av1tpu.spec.enums import (
 from av1tpu.spec.tile import FixedPartitionPlanner, Planner
 
 
+def _cheapest_inter_mode(stack, mv):
+    """Cheapest signaling of `mv` against the MV stack (shared by the
+    replay planners and mirrored by the C++ packer)."""
+    if mv == tuple(stack.global_mv):
+        return GLOBALMV, 0
+    if stack.num_found >= 1 and mv == tuple(stack.stack[0]):
+        return NEARESTMV, 0
+    if stack.num_found >= 2 and mv == tuple(stack.stack[1]):
+        return NEARMV, 0
+    return NEWMV, 0
+
+
 class InterReplayPlanner(FixedPartitionPlanner):
     """Feeds precomputed TPU inter decisions (models/inter_v.py) through the
     spec engine: per-16x16 MV grid + level grids.  The signaling mode is
@@ -39,20 +51,53 @@ class InterReplayPlanner(FixedPartitionPlanner):
 
     def inter_block(self, tc, r, c, bsize, stack):
         mv = tuple(int(x) for x in self.mv_grid[r // 4, c // 4])
-        if mv == tuple(stack.global_mv):
-            mode, idx = GLOBALMV, 0
-        elif stack.num_found >= 1 and mv == tuple(stack.stack[0]):
-            mode, idx = NEARESTMV, 0
-        elif stack.num_found >= 2 and mv == tuple(stack.stack[1]):
-            mode, idx = NEARMV, 0
-        else:
-            mode, idx = NEWMV, 0
+        mode, idx = _cheapest_inter_mode(stack, mv)
         return {"is_inter": True, "mode": mode, "mv": mv,
                 "ref_mv_idx": idx, "stack": stack}
 
     def quantize(self, tc, coefs_f, plane, tx, dc_q, ac_q, shift, x=0, y=0):
         n = 16 if plane == 0 else 8
         return np.asarray(self.grids[plane][y // n, x // n]).astype(np.int64)
+
+
+class InterPartReplayPlanner(Planner):
+    """Replays the partitioned TPU inter decisions
+    (models/inter_v.py encode_inter_part) through the spec engine."""
+
+    def __init__(self, out: dict):
+        self.o = {k: np.asarray(v) for k, v in out.items()}
+
+    def partition_choice(self, tc, r, c, bsize):
+        from av1tpu.spec.enums import BLOCK_32X32
+        if bsize > BLOCK_32X32:
+            return (PARTITION_SPLIT if self.o["split64"][r // 16, c // 16]
+                    else PARTITION_NONE)
+        if bsize == BLOCK_32X32:
+            return (PARTITION_SPLIT if self.o["split32"][r // 8, c // 8]
+                    else PARTITION_NONE)
+        return PARTITION_NONE
+
+    def inter_block(self, tc, r, c, bsize, stack):
+        mv = tuple(int(x) for x in self.o["mv"][r // 4, c // 4])
+        mode, idx = _cheapest_inter_mode(stack, mv)
+        return {"is_inter": True, "mode": mode, "mv": mv,
+                "ref_mv_idx": idx, "stack": stack}
+
+    def quantize(self, tc, coefs_f, plane, tx, dc_q, ac_q, shift, x=0, y=0):
+        if plane == 0:
+            grid, n = {0: ("lv16", 16), 1: ("lv32", 32),
+                       2: ("lv64", 64)}[shift]
+        else:
+            n = coefs_f.shape[0]
+            grid = {(1, 8): "lu8", (2, 8): "lv8", (1, 16): "lu16",
+                    (2, 16): "lv16c", (1, 32): "lu32",
+                    (2, 32): "lv32c"}[(plane, n)]
+        lv = self.o[grid][y // n, x // n].astype(np.int64)
+        if n == 64:  # coded 32x32 area scattered back into the 64x64 grid
+            full = np.zeros((64, 64), np.int64)
+            full[:32, :32] = lv
+            return full
+        return lv
 
 
 def _round_even_fullpel(mv):

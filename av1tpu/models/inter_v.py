@@ -37,6 +37,15 @@ import numpy as np
 from av1tpu.models.intra_v import _plane_params, quantize_coefs
 from av1tpu.ops.transforms_jax import forward_matrix, inverse_transform
 
+_SPLIT_OVERHEAD_BITS = 12.0  # extra signaling of 4 sub-blocks vs 1 merged
+
+# Merge-RDO lambda discount: every inter frame is the next frame's
+# reference, so distortion admitted by a merge propagates down the chain
+# while the bit saving is one-time.  Discounting lambda biases the
+# comparison toward quality.  Swept on the corpus (tests/bench notes).
+import os as _os
+_REF_LAM_SCALE = float(_os.environ.get("AV1TPU_REF_LAM", "0.3"))
+
 # search geometry (even-full-pel luma units)
 _COARSE_R = 8      # +-8 at quarter res = +-32 px, step 4 px
 _REFINE_R = 4      # +-4 px local refine, step 2 px (covers the 4-px coarse
@@ -247,8 +256,313 @@ def encode_inter_v(y, u, v, ref_y, ref_u, ref_v, qindex,
 
 
 # ----------------------------------------------------------------------
-# GOP scan + compact transport
+# partitioned inter: merge equal-MV 16-blocks into 32x32 / 64x64 NONE
+# blocks by pixel-domain RD (mirrors the intra partition pipeline,
+# av1tpu/models/intra_part.py; spec engine validates at every leaf size,
+# tests/test_inter_part.py)
 # ----------------------------------------------------------------------
+
+
+def _join_blocks(b, f: int):
+    """(rows, cols, n, n) -> (rows/f, cols/f, n*f, n*f) by tiling."""
+    rows, cols, n = b.shape[0], b.shape[1], b.shape[2]
+    return (b.reshape(rows // f, f, cols // f, f, n, n)
+            .transpose(0, 2, 1, 4, 3, 5)
+            .reshape(rows // f, cols // f, f * n, f * n))
+
+
+def _rate_of(lv):
+    a = jnp.abs(lv.astype(jnp.float32))
+    return jnp.sum(jnp.where(a > 0, 2.0, 0.0) + jnp.log2(1.0 + a),
+                   axis=(-2, -1))
+
+
+def _code_nn(src, pred, fwd, step, q, dq_shift: int, cap, pix_max):
+    """Generic n x n DCT residual coding on (..., n, n) blocks.  Returns
+    (levels i32, recon, dist_pix f32, rate f32)."""
+    n = src.shape[-1]
+    sh = src.shape[:-2]
+    resid = (src - pred).reshape(-1, n * n).astype(jnp.float32)
+    lv = quantize_coefs(resid @ fwd.T, step, cap)
+    dq = lv * q
+    if dq_shift:
+        dq = jnp.sign(dq) * (jnp.abs(dq) >> dq_shift)
+    r = inverse_transform(dq.reshape(-1, n, n), n, n, 0)
+    rec = jnp.clip(pred.reshape(-1, n, n) + r, 0, pix_max)
+    dist = jnp.sum((rec - src.reshape(-1, n, n)) ** 2,
+                   axis=(1, 2)).astype(jnp.float32)
+    lv = lv.reshape(sh + (n, n))
+    return (lv, rec.reshape(sh + (n, n)), dist.reshape(sh),
+            _rate_of(lv))
+
+
+@functools.cache
+def _fwd64_inter():
+    from av1tpu.models.intra_part import _fwd64
+    return _fwd64()
+
+
+def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv_px, qindex,
+                     bit_depth: int):
+    """Partition RDO on top of the 16-grid search results.
+
+    src_b/pred_b: (rows, cols, 16, 16) luma; src_cb/pred_cb: pairs of
+    (rows, cols, 8, 8) chroma (u, v).  Returns dict of per-size level
+    grids, split maps and recon planes (union-layout-ready)."""
+    rows, cols = mv_px.shape[:2]
+    rows32, cols32 = rows // 2, cols // 2
+    rows64, cols64 = rows // 4, cols // 4
+    pix_max = (1 << bit_depth) - 1
+
+    fwd16 = jnp.asarray(forward_matrix(16, 16, 0))
+    fwd32 = jnp.asarray(forward_matrix(32, 32, 0))
+    fwd8 = jnp.asarray(forward_matrix(8, 8, 0))
+    f64 = jnp.asarray(_fwd64_inter())
+    step16, q16, cap16 = _plane_params(qindex, 16, bit_depth)
+    step32, q32, cap32 = _plane_params(qindex, 32, bit_depth)
+    step8, q8, cap8 = _plane_params(qindex, 8, bit_depth)
+    ac = step16[1]
+    lam = (ac * ac * 0.0234 * _REF_LAM_SCALE).astype(jnp.float32)
+
+    # MV equality maps
+    eq32 = jnp.all(
+        mv_px.reshape(rows32, 2, cols32, 2, 2)
+        == mv_px[::2, ::2][:, None, :, None, :], axis=(1, 3, 4))
+    eq64 = jnp.all(
+        mv_px.reshape(rows64, 4, cols64, 4, 2)
+        == mv_px[::4, ::4][:, None, :, None, :], axis=(1, 3, 4))
+
+    # ---- 16 leaf (luma + chroma) ----
+    lv16, rec16, d16, r16 = _code_nn(src_b, pred_b, fwd16, step16, q16, 0,
+                                     cap16, pix_max)
+    cl = []
+    for sc, pc in zip(src_cb, pred_cb):
+        cl.append(_code_nn(sc, pc, fwd8, step8, q8, 0, cap8, pix_max))
+    (lu8, recu8, du8, ru8), (lv8, recv8, dv8, rv8) = cl
+
+    # ---- 32 merge (luma 32 DCT shift1 + chroma 16 DCT) ----
+    s32 = _join_blocks(src_b, 2)
+    p32 = _join_blocks(pred_b, 2)
+    lv32, rec32, d32, r32 = _code_nn(s32, p32, fwd32, step32 * 0.5, q32, 1,
+                                     cap32, pix_max)
+    sc16 = [_join_blocks(s, 2) for s in src_cb]
+    pc16 = [_join_blocks(p, 2) for p in pred_cb]
+    cc = [_code_nn(s, p, fwd16, step16, q16, 0, cap16, pix_max)
+          for s, p in zip(sc16, pc16)]
+    (lu16, recu16, du16, ru16), (lv16c, recv16, dv16, rv16) = cc
+
+    def sum4(x, r2, c2):
+        return x.reshape(r2, 2, c2, 2).sum(axis=(1, 3))
+
+    d16s = (sum4(d16, rows32, cols32) + sum4(du8, rows32, cols32)
+            + sum4(dv8, rows32, cols32))
+    cost16 = (sum4(d16 + lam * r16, rows32, cols32)
+              + sum4(du8 + lam * ru8, rows32, cols32)
+              + sum4(dv8 + lam * rv8, rows32, cols32)
+              + lam * _SPLIT_OVERHEAD_BITS)
+    d32s = d32 + du16 + dv16
+    cost32 = (d32 + lam * r32 + du16 + lam * ru16 + dv16 + lam * rv16)
+    # distortion gate: merged blocks feed the reference chain, where excess
+    # distortion compounds frame over frame while the bit saving is
+    # one-time; only merge where quality is (near-)preserved
+    ch32 = eq32 & (cost32 < cost16) & (d32s <= d16s * 1.1 + 64.0)
+
+    # ---- 64 merge (luma TX_64X64, coded 32x32, shift2; chroma 32 shift1)
+    s64 = _join_blocks(src_b, 4)
+    p64 = _join_blocks(pred_b, 4)
+    resid64 = (s64 - p64).reshape(-1, 4096).astype(jnp.float32)
+    lv64 = quantize_coefs(resid64 @ f64.T, step32 * 0.25, cap32)
+    dq64 = jnp.sign(lv64) * ((jnp.abs(lv64) * q32) >> 2)
+    full = jnp.zeros((rows64 * cols64, 64, 64), jnp.int32).at[
+        :, :32, :32].set(dq64.reshape(-1, 32, 32))
+    rec64 = jnp.clip(p64.reshape(-1, 64, 64)
+                     + inverse_transform(full, 64, 64, 0), 0, pix_max)
+    d64 = jnp.sum((rec64 - s64.reshape(-1, 64, 64)) ** 2,
+                  axis=(1, 2)).astype(jnp.float32).reshape(rows64, cols64)
+    lv64 = lv64.reshape(rows64, cols64, 32, 32)
+    r64l = _rate_of(lv64)
+    sc32 = [_join_blocks(s, 4) for s in src_cb]
+    pc32 = [_join_blocks(p, 4) for p in pred_cb]
+    c32 = [_code_nn(s, p, fwd32, step32 * 0.5, q32, 1, cap32, pix_max)
+           for s, p in zip(sc32, pc32)]
+    (lu32, recu32, du32, ru32), (lv32c, recv32, dv32, rv32) = c32
+    cost64 = d64 + lam * r64l + du32 + lam * ru32 + dv32 + lam * rv32
+    cost_sel32 = jnp.where(ch32, cost32, cost16)
+    cost_sub = (cost_sel32.reshape(rows64, 2, cols64, 2).sum(axis=(1, 3))
+                + lam * _SPLIT_OVERHEAD_BITS)
+    d64s = d64 + du32 + dv32
+    d_sel32 = jnp.where(ch32, d32s, d16s)
+    d_sub = d_sel32.reshape(rows64, 2, cols64, 2).sum(axis=(1, 3))
+    ch64 = eq64 & (cost64 < cost_sub) & (d64s <= d_sub * 1.1 + 256.0)
+
+    # ---- zero the losing branches ----
+    k32 = jnp.repeat(jnp.repeat(ch64, 2, 0), 2, 1)    # per 32-region
+    k16 = jnp.repeat(jnp.repeat(ch64, 4, 0), 4, 1)    # per 16-block
+    ch32 = ch32 & ~k32
+    m16 = jnp.repeat(jnp.repeat(ch32, 2, 0), 2, 1) | k16  # 16 losing
+
+    z16 = lambda a: jnp.where(m16[:, :, None, None], 0, a)
+    z32 = lambda a: jnp.where(ch32[:, :, None, None], a, 0)
+    z64 = lambda a: jnp.where(ch64[:, :, None, None], a, 0)
+    out = {
+        "lv16": z16(lv16).astype(jnp.int16),
+        "lu8": z16(lu8).astype(jnp.int16),
+        "lv8": z16(lv8).astype(jnp.int16),
+        "lv32": z32(lv32).astype(jnp.int16),
+        "lu16": z32(lu16).astype(jnp.int16),
+        "lv16c": z32(lv16c).astype(jnp.int16),
+        "lv64": z64(lv64).astype(jnp.int16),
+        "lu32": z64(lu32).astype(jnp.int16),
+        "lv32c": z64(lv32c).astype(jnp.int16),
+        "split32": ~ch32 & ~k32,    # True = split into 16s (given no 64)
+        "split64": ~ch64,           # True = split into 32-level
+    }
+
+    # ---- stitched recon planes ----
+    def plane_recon(recS, rec32m, rec64m, n):
+        """recS: (rows, cols, n, n); rec32m: (rows32, cols32, 2n, 2n);
+        rec64m: (rows64, cols64, 4n, 4n) -> (H, W) selected."""
+        s16 = jnp.where(m16[:, :, None, None], 0, recS)
+        as16_32 = (rec32m.reshape(rows32, cols32, 2, n, 2, n)
+                   .transpose(0, 2, 1, 4, 3, 5)
+                   .reshape(rows, cols, n, n))
+        s32 = jnp.where(
+            jnp.repeat(jnp.repeat(ch32, 2, 0), 2, 1)[:, :, None, None],
+            as16_32, 0)
+        as16_64 = (rec64m.reshape(rows64, cols64, 4, n, 4, n)
+                   .transpose(0, 2, 1, 4, 3, 5)
+                   .reshape(rows, cols, n, n))
+        s64 = jnp.where(k16[:, :, None, None], as16_64, 0)
+        sel = s16 + s32 + s64
+        return (sel.reshape(rows, cols, n, n).transpose(0, 2, 1, 3)
+                .reshape(rows * n, cols * n))
+
+    out["recon_y"] = plane_recon(
+        rec16, rec32, rec64.reshape(rows64, cols64, 64, 64), 16)
+    out["recon_u"] = plane_recon(recu8, recu16, recu32, 8)
+    out["recon_v"] = plane_recon(recv8, recv16, recv32, 8)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("bit_depth",))
+def encode_inter_part(y, u, v, ref_y, ref_u, ref_v, qindex,
+                      bit_depth: int = 8):
+    """Partitioned inter encode: 16-grid motion search, then 32/64 merge
+    RDO.  Returns per-size level grids, the MV grid, split maps and recon
+    planes."""
+    ac = _plane_params(qindex, 16, bit_depth)[0][1]
+    lam = (ac * ac * 0.0234) ** 0.5
+
+    src_q = _block_sad(y, 4) // 16
+    ref_q = _block_sad(ref_y, 4) // 16
+    coarse = _coarse_search(src_q, ref_q, lam * 16.0)
+    src_b = _to_blocks(y, 16)
+    patches = _patches_select(ref_y, coarse)
+    mv_px, pred_y = _refine_search(src_b, patches, coarse, lam)
+    mv_c = mv_px // 2
+    pred_u = _gather_patches(ref_u, mv_c, 8, 0)
+    pred_v = _gather_patches(ref_v, mv_c, 8, 0)
+
+    out = _inter_partition(src_b, pred_y,
+                           (_to_blocks(u, 8), _to_blocks(v, 8)),
+                           (pred_u, pred_v), mv_px, qindex, bit_depth)
+    out["mv"] = mv_px * 8
+    return out
+
+
+def inter_part_sizes(height: int, width: int):
+    nb = (height // 16) * (width // 16)
+    nb32 = (height // 32) * (width // 32)
+    nb64 = (height // 64) * (width // 64)
+    ncoef = nb * 256 + 2 * nb * 64      # union layout: y16 | u8 | v8
+    return nb, nb32, nb64, ncoef
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "cap"))
+def _gop_step_part(frame_u8, ref_fused, qindex, height: int, width: int,
+                   cap: int):
+    """Partitioned _gop_step: one inter frame, union-layout compact
+    transport [count, bitmap, vals, split32, split64, mv_y, mv_x]."""
+    from av1tpu.models.intra_part import (
+        _embed64, _merge_quads, _merge_tiles4,
+    )
+    bit_depth = 8 if frame_u8.dtype == jnp.uint8 else 10
+    ny = height * width
+    nc = ny // 4
+
+    def unfuse(f):
+        return (f[:ny].reshape(height, width).astype(jnp.int32),
+                f[ny : ny + nc].reshape(height // 2, width // 2)
+                .astype(jnp.int32),
+                f[ny + nc :].reshape(height // 2, width // 2)
+                .astype(jnp.int32))
+
+    yy, uu, vv = unfuse(frame_u8)
+    ry, ru, rv = unfuse(ref_fused)
+    o = encode_inter_part(yy, uu, vv, ry, ru, rv, qindex,
+                          bit_depth=bit_depth)
+    y16 = _merge_quads(o["lv16"], o["lv32"], 16)
+    y16 = _embed64(y16, o["lv64"])
+    u8 = _merge_quads(o["lu8"], o["lu16"], 8)
+    u8 = _merge_tiles4(u8, o["lu32"], 8)
+    v8 = _merge_quads(o["lv8"], o["lv16c"], 8)
+    v8 = _merge_tiles4(v8, o["lv32c"], 8)
+    flat = jnp.concatenate([y16.reshape(-1), u8.reshape(-1),
+                            v8.reshape(-1)])
+    sig = flat != 0
+    m = sig.shape[0]
+    bits = sig.reshape(m // 16, 16).astype(jnp.uint16)
+    bitmap = (bits << jnp.arange(16, dtype=jnp.uint16)).sum(
+        axis=-1, dtype=jnp.uint16)
+    count = jnp.sum(sig.astype(jnp.int32))
+    key = jnp.where(sig, jnp.arange(m, dtype=jnp.int32),
+                    jnp.int32(0x7FFFFFFF))
+    _, vals = jax.lax.sort((key, flat), num_keys=1)
+    head = jnp.stack([count & 0x7FFF, count >> 15]).astype(jnp.int16)
+    buf = jnp.concatenate([
+        head, jax.lax.bitcast_convert_type(bitmap, jnp.int16), vals[:cap],
+        o["split32"].reshape(-1).astype(jnp.int16),
+        o["split64"].reshape(-1).astype(jnp.int16),
+        o["mv"][..., 0].reshape(-1).astype(jnp.int16),
+        o["mv"][..., 1].reshape(-1).astype(jnp.int16)])
+    new_ref = jnp.concatenate([o["recon_y"].reshape(-1),
+                               o["recon_u"].reshape(-1),
+                               o["recon_v"].reshape(-1)])
+    return buf, new_ref
+
+
+def encode_gop_chunk_part(frames_u8, ref_fused, qindex, height: int,
+                          width: int, cap: int = 131072):
+    """Partitioned counterpart of encode_gop_chunk (host loop, device
+    carry, per-frame buffers fetchable while later frames compute)."""
+    frames_u8 = jnp.asarray(frames_u8)
+    bufs = []
+    ref = ref_fused
+    for k in range(frames_u8.shape[0]):
+        buf, ref = _gop_step_part(frames_u8[k], ref, qindex, height, width,
+                                  cap)
+        bufs.append(buf)
+    return bufs, ref
+
+
+def split_compact_inter_part(buf: np.ndarray, height: int, width: int):
+    """Host split -> (count, bitmap u16, vals i16, split32, split64,
+    mv (r16, c16, 2) i32)."""
+    nb, nb32, nb64, ncoef = inter_part_sizes(height, width)
+    nwords = ncoef // 16
+    count = int(buf[0]) | (int(buf[1]) << 15)
+    bitmap = buf[2 : 2 + nwords].view(np.uint16)
+    tail = nb32 + nb64 + 2 * nb
+    vals = buf[2 + nwords : len(buf) - tail]
+    meta = buf[len(buf) - tail :]
+    split32 = np.asarray(meta[:nb32]).reshape(height // 32, width // 32)
+    split64 = np.asarray(meta[nb32 : nb32 + nb64]).reshape(
+        height // 64, width // 64)
+    mvs = meta[nb32 + nb64 :].astype(np.int32)
+    mv = np.stack([mvs[:nb], mvs[nb:]], axis=-1).reshape(
+        height // 16, width // 16, 2)
+    return count, bitmap, vals, split32, split64, mv
+
 
 def inter_sizes(height: int, width: int):
     nb = (height // 16) * (width // 16)

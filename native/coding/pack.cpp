@@ -255,6 +255,7 @@ struct Tile {
     std::vector<int32_t> mi_mv_r, mi_mv_c;   // per mi unit, 1/8-pel
     std::vector<int8_t> mi_newmv;            // per mi unit
     std::vector<int8_t> mi_coded;            // per mi unit (inter coded)
+    std::vector<int8_t> mi_n4;               // per mi unit: block mi width
 
     void init_inter() {
         for (int i = 0; i < 4; i++)
@@ -283,6 +284,7 @@ struct Tile {
         mi_mv_c.assign((size_t)mi_rows * mi_cols, 0);
         mi_newmv.assign((size_t)mi_rows * mi_cols, 0);
         mi_coded.assign((size_t)mi_rows * mi_cols, 0);
+        mi_n4.assign((size_t)mi_rows * mi_cols, 4);
     }
 
     int part_ctx(int r, int c, int bsl) {
@@ -353,16 +355,15 @@ static void code_coeffs(Tile &T, int plane, int x, int y, int n,
         }
         return;
     }
-    if (plane == 0 && n == 16 && n_ctx == 16) {
-        if (is_inter) {
-            // inter tx set 3 (reduced): {IDTX, DCT_DCT}; DCT index 1
-            // (av1tpu/spec/tile.py:911 _code_tx_type_inter)
-            T.co.sym(T.inter_tx3_c[2], 1);
-        } else {
-            // tx type, intra set 2 (16x16), cdf indexed by [tx_sqr][y mode];
-            // 32x32 is tx-set 0 (DCT only), chroma types are derived
-            T.co.sym(T.ext_tx2[2][y_mode], tx_type_sym);
-        }
+    if (plane == 0 && is_inter && n_ctx != 64) {
+        // inter tx set 3 (reduced): {IDTX, DCT_DCT}; DCT index 1, cdf by
+        // TX_SIZE_SQR (16 -> 2, 32 -> 3); TX_64X64 is set 0 (no symbol)
+        // (av1tpu/spec/tile.py _code_tx_type_inter, enums.get_tx_set_inter)
+        T.co.sym(T.inter_tx3_c[n == 32 ? 3 : 2], 1);
+    } else if (plane == 0 && !is_inter && n == 16 && n_ctx == 16) {
+        // tx type, intra set 2 (16x16), cdf indexed by [tx_sqr][y mode];
+        // 32x32 is tx-set 0 (DCT only), chroma types are derived
+        T.co.sym(T.ext_tx2[2][y_mode], tx_type_sym);
     }
     // eob_pt (the 1024-coef table stores the 2D-class row first; smaller
     // tables store it second — see av1tpu/spec/tile.py is_1d_ctx)
@@ -821,9 +822,11 @@ static int drl_ctx_of(const MvStack &st, int idx) {
     return 0;
 }
 
-// bw4 == bh4 == 4, every coded mi is inter/LAST 16x16
-static void build_mv_stack(Tile &T, int r, int c, MvStack &st) {
-    const int bw4 = 4, bh4 = 4;
+// General square-block MV stack over mixed 16/32/64 inter neighbors
+// (av1tpu/spec/mv.py MvStackBuilder; bw4 == bh4 in {4, 8, 16}, r/c are
+// multiples of bw4 so the odd-mi adjustment terms vanish)
+static void build_mv_stack(Tile &T, int r, int c, int bw4, MvStack &st) {
+    const int bh4 = bw4;
     bool has_above = r > 0, has_left = c > 0;
     int max_row_offset = 0, max_col_offset = 0;
     if (has_above) {
@@ -838,51 +841,78 @@ static void build_mv_stack(Tile &T, int r, int c, MvStack &st) {
     int processed_rows = 0, processed_cols = 0;
     bool found_above = false, found_left = false;
 
-    // scan_row / scan_col for the uniform grid: one candidate per scan
-    // (length = min(bw4, n4w) = 4 covers end4 in one step)
-    auto scan_row = [&](int delta_row) {
+    auto inside = [&](int mr, int mc) {
+        return mr >= 0 && mc >= 0 && mr < T.mi_rows && mc < T.mi_cols;
+    };
+    auto scan_row = [&](int delta_row, int processed) {
+        int end4 = bw4 < T.mi_cols - c ? bw4 : T.mi_cols - c;
+        if (end4 > 16) end4 = 16;
         int delta_col = 0;
         int dr = delta_row;
+        bool use_step_16 = bw4 >= 16;
         if (dr < -1 || dr > 1) {             // |delta_row| > 1
-            dr += r & 1;                     // r % 4 == 0 -> unchanged
-            delta_col = 1 - (c & 1);         // c % 4 == 0 -> 1
+            dr += r & 1;                     // r % bw4 == 0 -> unchanged
+            delta_col = 1 - (c & 1);         // -> 1
         }
-        int mr = r + dr, mc = c + delta_col;
-        if (mr < 0 || mc < 0 || mr >= T.mi_rows || mc >= T.mi_cols) return 0;
-        int weight = 2;
-        int inc = -max_row_offset + dr + 1;
-        if (inc > 4) inc = 4;
-        if (inc > weight) weight = inc;
-        int np = inc - dr - 1;
-        st.add(T, mr, mc, 4 * weight);
+        int i = 0, np = processed;
+        while (i < end4) {
+            int mr = r + dr, mc = c + delta_col + i;
+            if (!inside(mr, mc)) break;
+            int n4w = T.mi_n4[(size_t)mr * T.mi_cols + mc];
+            int length = bw4 < n4w ? bw4 : n4w;
+            if (use_step_16) length = length > 4 ? length : 4;
+            else if (dr < -1 || dr > 1) length = length > 2 ? length : 2;
+            int weight = 2;
+            if (bw4 >= 2 && bw4 <= n4w) {
+                int inc = -max_row_offset + dr + 1;
+                if (inc > n4w) inc = n4w;    // n4h == n4w (square blocks)
+                if (inc > weight) weight = inc;
+                if (inc - dr - 1 > np) np = inc - dr - 1;
+            }
+            st.add(T, mr, mc, length * weight);
+            i += length;
+        }
         return np;
     };
-    auto scan_col = [&](int delta_col) {
+    auto scan_col = [&](int delta_col, int processed) {
+        int end4 = bh4 < T.mi_rows - r ? bh4 : T.mi_rows - r;
+        if (end4 > 16) end4 = 16;
         int delta_row = 0;
         int dc = delta_col;
+        bool use_step_16 = bh4 >= 16;
         if (dc < -1 || dc > 1) {
             delta_row = 1 - (r & 1);
             dc += c & 1;
         }
-        int mr = r + delta_row, mc = c + dc;
-        if (mr < 0 || mc < 0 || mr >= T.mi_rows || mc >= T.mi_cols) return 0;
-        int weight = 2;
-        int inc = -max_col_offset + dc + 1;
-        if (inc > 4) inc = 4;
-        if (inc > weight) weight = inc;
-        int np = inc - dc - 1;
-        st.add(T, mr, mc, 4 * weight);
+        int i = 0, np = processed;
+        while (i < end4) {
+            int mr = r + delta_row + i, mc = c + dc;
+            if (!inside(mr, mc)) break;
+            int n4h = T.mi_n4[(size_t)mr * T.mi_cols + mc];
+            int length = bh4 < n4h ? bh4 : n4h;
+            if (use_step_16) length = length > 4 ? length : 4;
+            else if (dc < -1 || dc > 1) length = length > 2 ? length : 2;
+            int weight = 2;
+            if (bh4 >= 2 && bh4 <= n4h) {
+                int inc = -max_col_offset + dc + 1;
+                if (inc > n4h) inc = n4h;
+                if (inc > weight) weight = inc;
+                if (inc - dc - 1 > np) np = inc - dc - 1;
+            }
+            st.add(T, mr, mc, length * weight);
+            i += length;
+        }
         return np;
     };
 
     if (max_row_offset) {
         st.found_match = false;
-        processed_rows = scan_row(-1);
+        processed_rows = scan_row(-1, 0);
         found_above |= st.found_match;
     }
     if (max_col_offset) {
         st.found_match = false;
-        processed_cols = scan_col(-1);
+        processed_cols = scan_col(-1, 0);
         found_left |= st.found_match;
     }
     // top-right point (max(bw4,bh4) <= 16 always)
@@ -911,15 +941,13 @@ static void build_mv_stack(Tile &T, int r, int c, MvStack &st) {
         int aro = -row_offset, amr = -max_row_offset;
         if (aro <= amr && aro > processed_rows) {
             st.found_match = false;
-            int np = scan_row(row_offset);
-            if (np > processed_rows) processed_rows = np;
+            processed_rows = scan_row(row_offset, processed_rows);
             found_above |= st.found_match;
         }
         int aco = -col_offset, amc = -max_col_offset;
         if (aco <= amc && aco > processed_cols) {
             st.found_match = false;
-            int np = scan_col(col_offset);
-            if (np > processed_cols) processed_cols = np;
+            processed_cols = scan_col(col_offset, processed_cols);
             found_left |= st.found_match;
         }
     }
@@ -955,9 +983,31 @@ static void build_mv_stack(Tile &T, int r, int c, MvStack &st) {
     stable_sort(num_nearest, st.len);
 
     if (st.len < 2) {
-        // extra single-ref fill: one candidate above, one left
-        if (has_above && st.len < 2) st.add_extra(T, r - 1, c);
-        if (has_left && st.len < 2) st.add_extra(T, r, c - 1);
+        // extra single-ref fill: walk the above row, then the left column
+        if (has_above) {
+            int w4 = bw4 < T.mi_cols - c ? bw4 : T.mi_cols - c;
+            if (w4 > 16) w4 = 16;
+            int i = 0;
+            while (i < w4 && st.len < 2) {
+                int mr = r - 1, mc = c + i;
+                if (!inside(mr, mc)) break;
+                st.add_extra(T, mr, mc);
+                int n4w = T.mi_n4[(size_t)mr * T.mi_cols + mc];
+                i += bw4 < n4w ? bw4 : n4w;
+            }
+        }
+        if (has_left) {
+            int h4 = bh4 < T.mi_rows - r ? bh4 : T.mi_rows - r;
+            if (h4 > 16) h4 = 16;
+            int i = 0;
+            while (i < h4 && st.len < 2) {
+                int mr = r + i, mc = c - 1;
+                if (!inside(mr, mc)) break;
+                st.add_extra(T, mr, mc);
+                int n4h = T.mi_n4[(size_t)mr * T.mi_cols + mc];
+                i += bh4 < n4h ? bh4 : n4h;
+            }
+        }
     }
     st.num_found = st.len;
     while (st.len < 2) {                    // global-mv padding (not counted)
@@ -1015,18 +1065,22 @@ static void code_mv(Tile &T, const int *pred, const int *mvv) {
 
 enum { M_NEARESTMV = 0, M_NEARMV = 1, M_GLOBALMV = 2, M_NEWMV = 3 };
 
-static void code_block_inter(Tile &T, Grids &G, const int16_t *mv_rows,
-                             const int16_t *mv_cols, int r, int c) {
-    int by = r / 4, bx = c / 4;
-    G.load(by, bx);
-    size_t b = (size_t)by * G.bcols + bx;
+// header + residual syntax for one inter block of luma size n (16/32/64);
+// levels pointers already expanded (ly: coded luma area, lu/lv: chroma)
+static void code_block_inter_common(Tile &T, const int16_t *mv_rows,
+                                    const int16_t *mv_cols, int bcols16,
+                                    int r, int c, int n, const int32_t *ly,
+                                    const int32_t *lu, const int32_t *lvp,
+                                    bool zy, bool zu, bool zv) {
+    size_t b = (size_t)(r / 4) * bcols16 + (c / 4);
     int mvv[2] = {mv_rows[b], mv_cols[b]};
+    int mi = n / 4;
 
     MvStack st;
-    build_mv_stack(T, r, c, st);
+    build_mv_stack(T, r, c, mi, st);
 
     // cheapest signaling for this MV against the stack
-    // (av1tpu/models/inter_host.py InterReplayPlanner)
+    // (av1tpu/models/inter_host.py _cheapest_inter_mode)
     int mode, ref_mv_idx = 0;
     if (mvv[0] == 0 && mvv[1] == 0) mode = M_GLOBALMV;
     else if (st.num_found >= 1 && mvv[0] == st.mv[0][0]
@@ -1035,29 +1089,26 @@ static void code_block_inter(Tile &T, Grids &G, const int16_t *mv_rows,
              && mvv[1] == st.mv[1][1]) mode = M_NEARMV;
     else mode = M_NEWMV;
 
-    int skip = G.zy && G.zu && G.zv;
+    int skip = zy && zu && zv;
     int sctx = (r > 0 ? T.above_skip[c] : 0) + (c > 0 ? T.left_skip[r] : 0);
     T.co.sym(T.skip[sctx], skip);
 
     // intra_inter: every neighbor is inter, so the ctx is always 0
-    // (av1tpu/spec/tile.py:363 _intra_inter_ctx)
     T.co.sym(T.intra_inter_c[0], 1);
 
     // single-ref tree, all bits 0 (LAST); ctx from neighbor LAST counts
     int cnt = (r > 0 ? 1 : 0) + (c > 0 ? 1 : 0);
-    int ctx_b1 = cnt == 0 ? 1 : 2;           // fwd vs bwd(=0)
+    int ctx_b1 = cnt == 0 ? 1 : 2;
     T.co.sym(T.single_ref_c[ctx_b1][0], 0);
-    T.co.sym(T.single_ref_c[ctx_b1][2], 0);  // LAST/LAST2 vs LAST3/GOLDEN
-    T.co.sym(T.single_ref_c[ctx_b1][3], 0);  // LAST vs LAST2
+    T.co.sym(T.single_ref_c[ctx_b1][2], 0);
+    T.co.sym(T.single_ref_c[ctx_b1][3], 0);
 
-    // inter mode tree (newmv / zeromv / refmv)
     T.co.sym(T.newmv_c[st.new_mv_ctx], mode != M_NEWMV);
     if (mode != M_NEWMV) {
         T.co.sym(T.zeromv_c[st.zero_mv_ctx], mode != M_GLOBALMV);
         if (mode != M_GLOBALMV)
             T.co.sym(T.refmv_c[st.ref_mv_ctx], mode != M_NEARESTMV);
     }
-    // DRL (ref_mv_idx always 0)
     if (mode == M_NEWMV) {
         for (int idx = 0; idx < 2; idx++)
             if (st.num_found > idx + 1) {
@@ -1074,35 +1125,47 @@ static void code_block_inter(Tile &T, Grids &G, const int16_t *mv_rows,
     }
     if (mode == M_NEWMV) code_mv(T, st.mv[ref_mv_idx], mvv);
 
-    // neighbor state updates
-    for (int i = 0; i < 4; i++) {
+    // neighbor state updates over the block's mi range
+    for (int i = 0; i < mi; i++) {
         T.above_skip[c + i] = skip;
         T.left_skip[r + i] = skip;
     }
-    for (int dr2 = 0; dr2 < 4; dr2++)
-        for (int dc2 = 0; dc2 < 4; dc2++) {
+    for (int dr2 = 0; dr2 < mi; dr2++)
+        for (int dc2 = 0; dc2 < mi; dc2++) {
             size_t i = (size_t)(r + dr2) * T.mi_cols + c + dc2;
             T.mi_mv_r[i] = mvv[0]; T.mi_mv_c[i] = mvv[1];
             T.mi_newmv[i] = mode == M_NEWMV;
             T.mi_coded[i] = 1;
+            T.mi_n4[i] = (int8_t)mi;
         }
 
     if (!skip) {
-        code_coeffs(T, 0, c * 4, r * 4, 16, G.sy, 0, 0, 16, true);
-        code_coeffs(T, 1, c * 2, r * 2, 8, G.su, 0, 0);
-        code_coeffs(T, 2, c * 2, r * 2, 8, G.sv, 0, 0);
+        // luma: TX_64X64 codes only the top-left 32x32; tx-type symbol for
+        // inter set 3 at 16/32, none at 64 (set 0)
+        int nly = n == 64 ? 32 : n;
+        code_coeffs(T, 0, c * 4, r * 4, nly, ly, 0, 0, n, true);
+        code_coeffs(T, 1, c * 2, r * 2, n / 2, lu, 0, 0);
+        code_coeffs(T, 2, c * 2, r * 2, n / 2, lvp, 0, 0);
     } else {
         for (int p = 0; p < 3; p++) {
             int sub = p ? 1 : 0;
             int x4 = (c * 4 >> sub) >> 2, y4 = (r * 4 >> sub) >> 2;
-            int w4 = (16 >> sub) >> 2;
+            int w4 = (n >> sub) >> 2;
             for (int i = 0; i < w4; i++) {
                 T.a_lvl[p][x4 + i] = 0; T.a_dc[p][x4 + i] = 0;
                 T.l_lvl[p][y4 + i] = 0; T.l_dc[p][y4 + i] = 0;
             }
         }
     }
-    T.update_part_ctx(r, c, 4, 4, 2, 2);
+    int lg = n == 64 ? 4 : (n == 32 ? 3 : 2);
+    T.update_part_ctx(r, c, mi, mi, lg, lg);
+}
+
+static void code_block_inter(Tile &T, Grids &G, const int16_t *mv_rows,
+                             const int16_t *mv_cols, int r, int c) {
+    G.load(r / 4, c / 4);
+    code_block_inter_common(T, mv_rows, mv_cols, G.bcols, r, c, 16,
+                            G.sy, G.su, G.sv, G.zy, G.zu, G.zv);
 }
 
 static void code_partition_inter(Tile &T, Grids &G, const int16_t *mv_rows,
@@ -1122,6 +1185,57 @@ static void code_partition_inter(Tile &T, Grids &G, const int16_t *mv_rows,
     code_partition_inter(T, G, mv_rows, mv_cols, r + half, c, bsl - 1);
     code_partition_inter(T, G, mv_rows, mv_cols, r + half, c + half,
                          bsl - 1);
+}
+
+// partitioned inter: split maps choose NONE at 64/32, leaves at 16
+// (av1tpu/models/inter_v.py encode_inter_part; union layout per GridsPart)
+static void code_partition_inter_part(Tile &T, GridsPart &G,
+                                      const int16_t *mv_rows,
+                                      const int16_t *mv_cols,
+                                      const int16_t *split32,
+                                      const int16_t *split64,
+                                      int r, int c, int bsl) {
+    if (r >= T.mi_rows || c >= T.mi_cols) return;
+    int ctx = (bsl - 1) * 4 + T.part_ctx(r, c, bsl);
+    if (bsl == 4) {
+        int by64 = r / 16, bx64 = c / 16;
+        if (!split64[(size_t)by64 * G.bcols64 + bx64]) {
+            T.co.sym(T.partition[ctx], 0);  // NONE -> one 64x64 block
+            G.load64(by64, bx64);
+            code_block_inter_common(T, mv_rows, mv_cols, G.bcols, r, c, 64,
+                                    G.sy32, G.su32, G.sv32, G.zy, G.zu,
+                                    G.zv);
+            return;
+        }
+    }
+    if (bsl == 3) {
+        int by32 = r / 8, bx32 = c / 8;
+        if (!split32[(size_t)by32 * G.bcols32 + bx32]) {
+            T.co.sym(T.partition[ctx], 0);  // NONE -> one 32x32 block
+            G.load32(by32, bx32);
+            code_block_inter_common(T, mv_rows, mv_cols, G.bcols, r, c, 32,
+                                    G.sy32, G.su16, G.sv16, G.zy, G.zu,
+                                    G.zv);
+            return;
+        }
+    }
+    if (bsl == 2) {
+        T.co.sym(T.partition[ctx], 0);      // NONE
+        G.load16(r / 4, c / 4);
+        code_block_inter_common(T, mv_rows, mv_cols, G.bcols, r, c, 16,
+                                G.sy, G.su, G.sv, G.zy, G.zu, G.zv);
+        return;
+    }
+    T.co.sym(T.partition[ctx], 3);          // SPLIT
+    int half = 1 << (bsl - 1);
+    code_partition_inter_part(T, G, mv_rows, mv_cols, split32, split64,
+                              r, c, bsl - 1);
+    code_partition_inter_part(T, G, mv_rows, mv_cols, split32, split64,
+                              r, c + half, bsl - 1);
+    code_partition_inter_part(T, G, mv_rows, mv_cols, split32, split64,
+                              r + half, c, bsl - 1);
+    code_partition_inter_part(T, G, mv_rows, mv_cols, split32, split64,
+                              r + half, c + half, bsl - 1);
 }
 
 }  // namespace
@@ -1191,6 +1305,31 @@ size_t pack_tile_inter(const uint16_t *bitmap, const int16_t *vals,
     for (int r = 0; r < mi_rows; r += 16)
         for (int c = 0; c < mi_cols; c += 16)
             code_partition_inter(T, G, mv_rows, mv_cols, r, c, 4);
+    return T.co.ec.done(out, cap);
+}
+
+// partitioned inter tile: union-layout levels (y16 | u8 | v8 with 32/64
+// winners in their regions' slots, see av1tpu/models/inter_v.py
+// _gop_step_part) + split maps + per-16-block MV grids
+size_t pack_tile_inter_part(const uint16_t *bitmap, const int16_t *vals,
+                            const int16_t *split32, const int16_t *split64,
+                            const int16_t *mv_rows, const int16_t *mv_cols,
+                            int mi_rows, int mi_cols, int qindex,
+                            int disable_update, uint8_t *out, size_t cap) {
+    Tile T;
+    T.init(qindex, mi_rows, mi_cols);
+    T.init_inter();
+    T.co.update = !disable_update;
+    GridsPart G;
+    G.bitmap = bitmap; G.vals = vals;
+    G.bcols = mi_cols / 4; G.brows = mi_rows / 4;
+    G.bcols32 = mi_cols / 8; G.brows32 = mi_rows / 8;
+    G.bcols64 = mi_cols / 16; G.brows64 = mi_rows / 16;
+    G.build_offsets();
+    for (int r = 0; r < mi_rows; r += 16)
+        for (int c = 0; c < mi_cols; c += 16)
+            code_partition_inter_part(T, G, mv_rows, mv_cols, split32,
+                                      split64, r, c, 4);
     return T.co.ec.done(out, cap);
 }
 

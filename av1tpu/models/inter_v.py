@@ -7,15 +7,16 @@ codes its residual.  The whole frame is a handful of batched matmuls plus
 two gathers — the shape TPUs like best.
 
 Motion search is hierarchical and fully vectorized:
-  1. coarse: 4x-downsampled SAD scan over a +-8-sample grid (= +-32 px full
-     res, 4-px granularity), one `lax.scan` over candidate shifts with all
-     blocks batched;
-  2. refine: per-block 28x28 reference patches gathered at the coarse MV,
-     then a +-6 px even-full-pel local sweep (static slices, batched).
-MVs stay on the even full-pel grid so chroma motion compensation is an
-exact pixel copy (subpel interpolation lands later); the spec engine's
-`_predict_inter` (av1tpu/spec/tile.py:715) clamps reads to frame bounds,
-reproduced here with index clips.
+  1. coarse: 4x-downsampled SAD sweep over a +-8-sample grid (= +-32 px
+     full res, 4-px granularity), row shifts batched into one tensor;
+  2. refine: per-block reference patches assembled at the coarse MV
+     (static tile concat + masked selects — no TPU gather), then a +-2 px
+     full-pel sweep (static slices, batched).
+Luma MVs are full-pel (any parity) so luma compensation is an exact copy;
+chroma is interpolated at 1/16-pel resolution with the normative 8-tap
+EIGHTTAP-regular filter (_chroma_mc), matching the spec engine's
+`_predict_inter` (av1tpu/spec/tile.py) bit-exactly, including its
+frame-bound clamps (index clips / edge padding here).
 
 Residuals: luma DCT 16x16, chroma DCT 8x8 (inter chroma derives DCT_DCT,
 spec tile.py:826), deadzone quantization shared with the intra pipeline.
@@ -45,11 +46,16 @@ _SPLIT_OVERHEAD_BITS = 12.0  # extra signaling of 4 sub-blocks vs 1 merged
 # comparison toward quality.  Swept on the corpus (tests/bench notes).
 import os as _os
 _REF_LAM_SCALE = float(_os.environ.get("AV1TPU_REF_LAM", "0.3"))
+# MV-rate bias weight in the search (swept on the corpus): real MV cost is
+# the diff from the stack prediction, near zero for coherent motion fields,
+# so the absolute-magnitude proxy must be weighted well below lambda*bits
+_MV_BIAS = float(_os.environ.get("AV1TPU_MV_BIAS", "0.3"))
 
-# search geometry (even-full-pel luma units)
+# search geometry (full-pel luma units; odd MVs allowed — chroma gets
+# normative half-pel interpolation)
 _COARSE_R = 8      # +-8 at quarter res = +-32 px, step 4 px
-_REFINE_R = 4      # +-4 px local refine, step 2 px (covers the 4-px coarse
-#                    grid granularity with one step of margin)
+_REFINE_R = 2      # +-2 px local refine, step 1 px (covers the 4-px coarse
+#                    grid granularity at full-pel resolution)
 _PATCH = 16 + 2 * _REFINE_R      # gathered per-block reference patch side
 MAX_MV_PX = 4 * _COARSE_R + _REFINE_R
 
@@ -60,7 +66,7 @@ def _block_sad(diff, n: int):
     return diff.reshape(h // n, n, w // n, n).sum(axis=(1, 3))
 
 
-def _coarse_search(src_q, ref_q, lam):
+def _coarse_search(src_q, ref_q, lam, snap_margin):
     """Quarter-res full search.  src_q/ref_q: (H/4, W/4) int32.  Returns
     (r16, c16, 2) int32 full-res even-pel MV (multiples of 4 px).
 
@@ -84,21 +90,40 @@ def _coarse_search(src_q, ref_q, lam):
 
     bias_dy = lam * mv_bias(dys)                        # (nd,)
     best_cost = jnp.full((rows, cols), jnp.inf, jnp.float32)
+    best_sad = jnp.full((rows, cols), jnp.inf, jnp.float32)
     best_dy = jnp.zeros((rows, cols), jnp.int32)
     best_dx = jnp.zeros((rows, cols), jnp.int32)
+    sad_cols = []                                       # per-dx (nd, r, c)
     for dx in range(-r, r + 1):
         cand = rows_sh[:, :, r + dx : r + dx + wq]      # (nd, hq, wq)
         diff = jnp.abs(src_q[None] - cand)
         sad = diff.reshape(nd, rows, 4, cols, 4).sum(
             axis=(2, 4)).astype(jnp.float32)            # (nd, rows, cols)
+        sad_cols.append(sad)
         cost = sad + (bias_dy + lam * mv_bias(dx))[:, None, None]
         k = jnp.argmin(cost, axis=0)                    # (rows, cols)
         c = jnp.min(cost, axis=0)
         take = c < best_cost
         best_cost = jnp.where(take, c, best_cost)
+        best_sad = jnp.where(take, jnp.min(sad, axis=0), best_sad)
         best_dy = jnp.where(take, dys[k], best_dy)
         best_dx = jnp.where(take, dx, best_dx)
-    return jnp.stack([best_dy, best_dx], axis=-1) * 4   # full-res px
+
+    # coherence snap: an incoherent MV field costs a NEWMV diff per block
+    # while residual-SAD differences on noisy content are just noise
+    # fitting.  Snap each block to the frame-dominant shift whenever that
+    # is nearly as good — the MV stack then makes those blocks almost free
+    # (NEAREST/GLOBALMV).  For static content the dominant shift IS zero.
+    all_sad = jnp.stack(sad_cols, 1)                    # (nd_dy, nd_dx, r, c)
+    totals = all_sad.sum(axis=(2, 3))
+    g = jnp.argmin(totals.reshape(-1))
+    g_dy, g_dx = g // nd, g % nd
+    sad_g = all_sad.reshape(nd * nd, rows, cols)[g]
+    snap_g = sad_g <= best_sad + snap_margin
+    best_dy = jnp.where(snap_g, dys[g_dy], best_dy)
+    best_dx = jnp.where(snap_g, dys[g_dx], best_dx)
+    g_abs = jnp.stack([dys[g_dy], dys[g_dx]]) * 4       # dominant, full-res
+    return jnp.stack([best_dy, best_dx], axis=-1) * 4, g_abs
 
 
 def _patches_select(ref, coarse_px):
@@ -175,25 +200,78 @@ def _refine_search(src_b, patches, coarse_px, lam):
     _PATCH).  Returns final (rows, cols, 2) full-res px MV."""
     shape = src_b.shape[:2]
     best_cost = jnp.full(shape, jnp.inf, jnp.float32)
+    best_sad = jnp.full(shape, jnp.inf, jnp.float32)
     best = jnp.zeros(shape + (2,), jnp.int32)
     best_pred = jnp.zeros_like(src_b)
-    for dy in range(-_REFINE_R, _REFINE_R + 1, 2):
-        for dx in range(-_REFINE_R, _REFINE_R + 1, 2):
+    offs = []
+    sads = []
+    for dy in range(-_REFINE_R, _REFINE_R + 1):
+        for dx in range(-_REFINE_R, _REFINE_R + 1):
             cand = patches[:, :, _REFINE_R + dy : _REFINE_R + dy + 16,
                            _REFINE_R + dx : _REFINE_R + dx + 16]
             sad = jnp.abs(src_b - cand).sum(axis=(2, 3)).astype(jnp.float32)
+            offs.append((dy, dx))
+            sads.append(sad)
             total = coarse_px + jnp.asarray([dy, dx], jnp.int32)
-            mag = jnp.abs(total).astype(jnp.float32)
-            bias = lam * jnp.where(mag > 0, 3.0 + jnp.log2(1.0 + mag),
-                                   0.0).sum(axis=-1)
+            # bias relative to the (coherence-snapped) coarse MV: deviating
+            # from the local prediction is what costs bits, not magnitude
+            bias = lam * _MV_BIAS * 2.0 * (abs(dy) + abs(dx))
             cost = sad + bias
             take = cost < best_cost
             best_cost = jnp.where(take, cost, best_cost)
+            best_sad = jnp.where(take, sad, best_sad)
             best = jnp.where(take[..., None], total, best)
             # carry the winning prediction too: luma MC comes free from the
             # patches already in registers (saves a full-plane gather)
             best_pred = jnp.where(take[..., None, None], cand, best_pred)
-    return best, best_pred
+
+    # full-pel coherence snap (same rationale as the coarse snap): noise
+    # fitting decorrelates neighboring blocks by +-1 px, making every MV a
+    # fresh NEWMV diff; snap to the frame-dominant refine offset where it
+    # is nearly as good
+    totals = jnp.stack([s.sum() for s in sads])        # (K,)
+    gi = jnp.argmin(totals)
+    off_arr = jnp.asarray(offs, jnp.int32)             # (K, 2)
+    off_g = off_arr[gi]
+    pred_g = jax.lax.dynamic_slice(
+        patches, (0, 0, _REFINE_R + off_g[0], _REFINE_R + off_g[1]),
+        patches.shape[:2] + (16, 16))
+    sad_g = jnp.abs(src_b - pred_g).sum(axis=(2, 3)).astype(jnp.float32)
+    snap = sad_g <= best_sad + lam * 14.0
+    best = jnp.where(snap[..., None], coarse_px + off_g, best)
+    best_sad = jnp.where(snap, sad_g, best_sad)
+    best_pred = jnp.where(snap[..., None, None], pred_g, best_pred)
+    return best, best_pred, best_sad, off_g
+
+
+@functools.cache
+def _subpel_bank() -> np.ndarray:
+    from av1tpu.spec import tables
+    return np.asarray(tables.subpel_filters()["regular"], np.int32)
+
+
+def _chroma_mc(ref, mv_px, pix_max):
+    """8x8 chroma motion compensation for full-pel luma MVs of any parity
+    (spec 7.11.3: separable 8-tap EIGHTTAP-regular at 1/16-pel chroma
+    resolution, rounding 3 then 11).  Bit-exact vs the engine's
+    _predict_inter (av1tpu/spec/tile.py)."""
+    mv8 = mv_px * 8                       # 1/8-pel luma units
+    mv_int = jnp.stack([mv8[..., 0] >> 4, mv8[..., 1] >> 4], -1)
+    fy = mv8[..., 0] & 15
+    fx = mv8[..., 1] & 15
+    patch = _gather_patches(ref, mv_int, 8, 4)   # (rows, cols, 16, 16)
+    bank = jnp.asarray(_subpel_bank())
+    tx = bank[fx]                          # (rows, cols, 8)
+    ty = bank[fy]
+    hor = jnp.zeros(patch.shape[:2] + (16, 8), jnp.int32)
+    for k in range(8):
+        hor = hor + tx[:, :, k, None, None] * patch[:, :, :, k + 1 : k + 9]
+    hor = (hor + 4) >> 3                   # InterRound0
+    out = jnp.zeros(patch.shape[:2] + (8, 8), jnp.int32)
+    for k in range(8):
+        out = out + ty[:, :, k, None, None] * hor[:, :, k + 1 : k + 9, :]
+    out = (out + 1024) >> 11               # InterRound1
+    return jnp.clip(out, 0, pix_max)
 
 
 def _code_plane_inter(src, pred, qindex, n: int, bit_depth: int):
@@ -218,6 +296,36 @@ def _to_blocks(plane, n: int):
     return (plane.reshape(h // n, n, w // n, n).transpose(0, 2, 1, 3))
 
 
+def _search_mv(y, ref_y, lam):
+    """Full luma motion search: quarter-res coarse (+dominant snap), +-2
+    full-pel refine (+dominant snap), then a frame-global ABSOLUTE
+    candidate evaluated at full resolution for every block.  The last step
+    rescues blocks whose quarter-res SAD landscape aliased into a wrong
+    basin that the local refine cannot escape (a uniform shift is one
+    dynamic_slice — cheap).  Returns (mv_px, pred_y, src_b)."""
+    src_q = _block_sad(y, 4) // 16         # 4x4 mean pool (exact ints /16)
+    ref_q = _block_sad(ref_y, 4) // 16
+    coarse, g_abs = _coarse_search(src_q, ref_q, lam * _MV_BIAS / 16.0,
+                                   lam * 14.0 / 16.0)
+    # (quarter-res SADs are ~1/16 of pixel-domain SADs, so both the
+    # MV-rate bias and the ~14-bit NEWMV-diff snap margin scale down by 16)
+    src_b = _to_blocks(y, 16)
+    patches = _patches_select(ref_y, coarse)
+    mv_px, pred_y, best_sad, off_g = _refine_search(src_b, patches, coarse,
+                                                    lam)
+    g_full = g_abs + off_g
+    P = MAX_MV_PX + 8
+    refp = jnp.pad(ref_y, P, mode="edge")
+    shifted = jax.lax.dynamic_slice(refp, (P + g_full[0], P + g_full[1]),
+                                    ref_y.shape)
+    sblocks = _to_blocks(shifted, 16)
+    sad_g = jnp.abs(src_b - sblocks).sum(axis=(2, 3)).astype(jnp.float32)
+    snap = sad_g <= best_sad + lam * 14.0
+    mv_px = jnp.where(snap[..., None], g_full, mv_px)
+    pred_y = jnp.where(snap[..., None, None], sblocks, pred_y)
+    return mv_px, pred_y, src_b
+
+
 @functools.partial(jax.jit, static_argnames=("bit_depth",))
 def encode_inter_v(y, u, v, ref_y, ref_u, ref_v, qindex,
                    bit_depth: int = 8):
@@ -231,19 +339,13 @@ def encode_inter_v(y, u, v, ref_y, ref_u, ref_v, qindex,
     lam = (ac * ac * 0.0234) ** 0.5        # SAD-domain lambda (pixel rdo
     # lambda from the intra partition tuning, sqrt for the L1 domain)
 
-    # hierarchical motion search on luma
-    src_q = _block_sad(y, 4) // 16         # 4x4 mean pool (exact ints /16)
-    ref_q = _block_sad(ref_y, 4) // 16
-    coarse = _coarse_search(src_q, ref_q, lam * 16.0)
-    src_b = _to_blocks(y, 16)
-    patches = _patches_select(ref_y, coarse)
-    mv_px, pred_y = _refine_search(src_b, patches, coarse, lam)
+    mv_px, pred_y, src_b = _search_mv(y, ref_y, lam)
 
-    # chroma motion compensation (exact copies on the even full-pel grid;
-    # luma prediction came out of the refine sweep)
-    mv_c = mv_px // 2
-    pred_u = _gather_patches(ref_u, mv_c, 8, 0)
-    pred_v = _gather_patches(ref_v, mv_c, 8, 0)
+    # luma prediction came out of the search (full-pel copy); chroma
+    # is interpolated at 1/16-pel resolution (half-pel for odd luma MVs)
+    pix_max = (1 << bit_depth) - 1
+    pred_u = _chroma_mc(ref_u, mv_px, pix_max)
+    pred_v = _chroma_mc(ref_v, mv_px, pix_max)
 
     ly, ry = _code_plane_inter(src_b, pred_y, qindex, 16, bit_depth)
     lu, ru = _code_plane_inter(_to_blocks(u, 8), pred_u, qindex, 8,
@@ -453,15 +555,10 @@ def encode_inter_part(y, u, v, ref_y, ref_u, ref_v, qindex,
     ac = _plane_params(qindex, 16, bit_depth)[0][1]
     lam = (ac * ac * 0.0234) ** 0.5
 
-    src_q = _block_sad(y, 4) // 16
-    ref_q = _block_sad(ref_y, 4) // 16
-    coarse = _coarse_search(src_q, ref_q, lam * 16.0)
-    src_b = _to_blocks(y, 16)
-    patches = _patches_select(ref_y, coarse)
-    mv_px, pred_y = _refine_search(src_b, patches, coarse, lam)
-    mv_c = mv_px // 2
-    pred_u = _gather_patches(ref_u, mv_c, 8, 0)
-    pred_v = _gather_patches(ref_v, mv_c, 8, 0)
+    mv_px, pred_y, src_b = _search_mv(y, ref_y, lam)
+    pix_max = (1 << bit_depth) - 1
+    pred_u = _chroma_mc(ref_u, mv_px, pix_max)
+    pred_v = _chroma_mc(ref_v, mv_px, pix_max)
 
     out = _inter_partition(src_b, pred_y,
                            (_to_blocks(u, 8), _to_blocks(v, 8)),

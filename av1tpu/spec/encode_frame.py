@@ -28,6 +28,8 @@ class EncoderConfig:
     leaf_bsize: int = BLOCK_16X16
     bit_depth: int = 8
     disable_cdf_update: int = 0
+    loop_filter_level: tuple = (0, 0, 0, 0)
+    loop_filter_sharpness: int = 0
 
 
 def make_sequence_header(width: int, height: int,
@@ -51,7 +53,8 @@ def make_frame_header(seq: SequenceHeader, cfg: EncoderConfig) -> FrameHeader:
     fh.base_q_idx = cfg.base_q_idx
     fh.disable_cdf_update = cfg.disable_cdf_update
     fh.disable_frame_end_update_cdf = 1
-    fh.loop_filter_level = (0, 0, 0, 0)
+    fh.loop_filter_level = cfg.loop_filter_level
+    fh.loop_filter_sharpness = cfg.loop_filter_sharpness
     return fh
 
 
@@ -64,6 +67,17 @@ def _pad_to(arr: np.ndarray, h: int, w: int) -> np.ndarray:
     if ah < h:
         out[ah:, :] = out[ah - 1 : ah, :]
     return out
+
+
+def _maybe_deblock(seq, fh, tc, recon) -> None:
+    """Apply the normative loop filter to the reconstruction (spec 7.14) —
+    part of the coding loop: the decoder does the same, and inter frames
+    reference the filtered planes."""
+    if not any(fh.loop_filter_level):
+        return
+    from .deblock import deblock_frame
+    deblock_frame(fh, seq, recon, tc.blk_r0, tc.blk_c0, tc.mi_sizes,
+                  tc.skips, tc.is_inters, bit_depth=seq.bit_depth)
 
 
 def encode_keyframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
@@ -90,6 +104,7 @@ def encode_keyframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     coder = EncCoder(disable_cdf_update=bool(fh.disable_cdf_update))
     tc = TileCoder(seq, fh, coder, recon, source=src, planner=planner)
     tc.code_tile()
+    _maybe_deblock(seq, fh, tc, recon)
     tile_bytes = coder.done()
 
     bw = BitWriter()
@@ -141,6 +156,7 @@ def encode_interframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     tc = TileCoder(seq, fh, coder, recon, source=src, planner=planner,
                    ref_planes=ref_recon)
     tc.code_tile()
+    _maybe_deblock(seq, fh, tc, recon)
     tile_bytes = coder.done()
 
     bw = BitWriter()

@@ -59,6 +59,13 @@ def inter_cdfs() -> dict[str, np.ndarray]:
     return _load("inter_cdfs.npz")
 
 
+def subpel_filters() -> dict[str, np.ndarray]:
+    """Sub-pel interpolation filter banks (spec Subpel_Filters; 16
+    positions x 8 taps, extracted from libaom by extract_tables.py
+    extract_subpel): regular / smooth / sharp / bilinear."""
+    return _load("subpel.npz")
+
+
 def dc_q(qindex: int, bit_depth: int = 8) -> int:
     return int(quant()[f"dc_q_{bit_depth}"][qindex])
 

@@ -37,7 +37,7 @@ from .headers import (
 )
 from .mv import code_mv, drl_ctx, find_mv_stack
 from .predict import build_edges, predict_intra
-from .transforms import forward_transform_2d, inverse_transform_2d
+from .transforms import forward_transform_2d, inverse_transform_2d, round2
 
 PROB_TOP = 1 << 15
 
@@ -158,6 +158,9 @@ class TileCoder:
         self.uv_modes = np.full((n_r, n_c), DC_PRED, np.int8)
         self.skips = np.zeros((n_r, n_c), np.int8)
         self.mi_sizes = np.zeros((n_r, n_c), np.int8)
+        # block-origin grids (deblocking edge decisions, spec 7.14)
+        self.blk_r0 = np.zeros((n_r, n_c), np.int32)
+        self.blk_c0 = np.zeros((n_r, n_c), np.int32)
         # inter-frame neighbor state (MV stack + context sources)
         self.is_inters = np.zeros((n_r, n_c), np.int8)
         self.ref_frames = np.zeros((n_r, n_c), np.int8)  # 0 = intra
@@ -535,6 +538,8 @@ class TileCoder:
         self.uv_modes[r : r + mi_h, c : c + mi_w] = uv_mode
         self.skips[r : r + mi_h, c : c + mi_w] = skip
         self.mi_sizes[r : r + mi_h, c : c + mi_w] = bsize
+        self.blk_r0[r : r + mi_h, c : c + mi_w] = r
+        self.blk_c0[r : r + mi_h, c : c + mi_w] = c
         self.is_inters[r : r + mi_h, c : c + mi_w] = int(is_inter)
         self.ref_frames[r : r + mi_h, c : c + mi_w] = (
             LAST_FRAME if is_inter else 0)
@@ -605,6 +610,8 @@ class TileCoder:
         self.uv_modes[r : r + mi_h, c : c + mi_w] = uv_mode
         self.skips[r : r + mi_h, c : c + mi_w] = skip
         self.mi_sizes[r : r + mi_h, c : c + mi_w] = bsize
+        self.blk_r0[r : r + mi_h, c : c + mi_w] = r
+        self.blk_c0[r : r + mi_h, c : c + mi_w] = c
 
         # luma tx size (spec read_block_tx_size; encoder uses TX_MODE_LARGEST)
         self._cur_tx = self._read_block_tx_size(r, c, bsize, skip)
@@ -713,21 +720,43 @@ class TileCoder:
                              have_above, have_left, self.bd)
 
     def _predict_inter(self, plane, x, y, tx, mv):
-        """Motion compensation from the LAST reference.  Full-pel only for
-        now (the encoder restricts its search accordingly); reads are
-        clamped to the frame bounds exactly as the normative predictor."""
+        """Motion compensation from the LAST reference (spec 7.11.3
+        block_inter_predict, translation-only): separable 8-tap sub-pel
+        interpolation (EIGHTTAP regular, the filter the headers signal)
+        with the normative two-stage rounding; reads are clamped to the
+        frame bounds exactly as the normative predictor."""
         sub = 1 if plane else 0
         ref = self.ref_planes[plane]
         w, h = TX_W[tx], TX_H[tx]
-        assert mv[0] % (8 << sub) == 0 and mv[1] % (8 << sub) == 0, \
-            "subpel motion compensation not yet implemented"
-        dy = (mv[0] >> 3) >> sub
-        dx = (mv[1] >> 3) >> sub
+        # plane-resolution sub-pel position: luma mv is 1/8-pel (even
+        # 1/16ths); chroma samples are half-res, so the same vector has
+        # full 1/16-pel resolution there
+        if sub:
+            iy, fy = mv[0] >> 4, mv[0] & 15
+            ix, fx = mv[1] >> 4, mv[1] & 15
+        else:
+            iy, fy = mv[0] >> 3, (mv[0] & 7) << 1
+            ix, fx = mv[1] >> 3, (mv[1] & 7) << 1
         fw = (self.fh.width + sub) >> sub
         fhh = (self.fh.height + sub) >> sub
-        rows = np.clip(np.arange(y + dy, y + dy + h), 0, fhh - 1)
-        cols = np.clip(np.arange(x + dx, x + dx + w), 0, fw - 1)
-        return ref[np.ix_(rows, cols)].astype(np.int64)
+        if fy == 0 and fx == 0:            # pure copy fast path
+            rows = np.clip(np.arange(y + iy, y + iy + h), 0, fhh - 1)
+            cols = np.clip(np.arange(x + ix, x + ix + w), 0, fw - 1)
+            return ref[np.ix_(rows, cols)].astype(np.int64)
+        filt = tables.subpel_filters()["regular"].astype(np.int64)
+        fxr, fyr = filt[fx], filt[fy]
+        rows = np.clip(np.arange(y + iy - 3, y + iy + h + 4), 0, fhh - 1)
+        cols = np.clip(np.arange(x + ix - 3, x + ix + w + 4), 0, fw - 1)
+        patch = ref[np.ix_(rows, cols)].astype(np.int64)   # (h+7, w+7)
+        hor = np.zeros((h + 7, w), np.int64)
+        for k in range(8):
+            hor += fxr[k] * patch[:, k : k + w]
+        hor = round2(hor, 3)               # InterRound0 (8/10-bit)
+        out = np.zeros((h, w), np.int64)
+        for k in range(8):
+            out += fyr[k] * hor[k : k + h, :]
+        out = round2(out, 11)              # InterRound1, single reference
+        return np.clip(out, 0, self.pix_max)
 
     def _plan_residuals(self, r, c, bsize, y_mode, uv_mode, has_chroma,
                         is_inter=False, mv=(0, 0)):

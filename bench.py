@@ -54,7 +54,7 @@ def main():
                      _pad(clip.v[i].astype(np.int32), h // 2, w // 2))
          for i in range(CHUNK)])
     packer = Packer()
-    inter_cap = 98304
+    inter_cap = 163840
 
     def key_roundtrip():
         buf, ref = encode_intra_key_recon(jax.device_put(fused[0]), QINDEX,

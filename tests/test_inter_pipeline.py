@@ -102,7 +102,8 @@ def check_decoders(tmp_path, streams, recons, w, h, n):
 
 
 @pytest.mark.parametrize("seed,motion", [(31, (3, 5)), (32, (0, 0)),
-                                         (33, (-7, 11))])
+                                         (33, (-7, 11)), (34, (1, 3)),
+                                         (35, (-3, -1))])
 def test_inter_pipeline_matches_engine_and_decoders(tmp_path, seed, motion):
     clip = moving_clip(128, 64, 4, seed, *motion)
     q = 100

@@ -474,10 +474,47 @@ def extract_inter_modes(A):
     return out
 
 
+def extract_subpel():
+    """Sub-pel interpolation filter banks (spec Subpel_Filters, 16
+    positions x 8 int16 taps summing to 128).  Signature: the integer row
+    {0,0,0,128,0,0,0,0}; banks distinguished by their half-pel row."""
+    data = open(LIBAOM, "rb").read()
+    anchor = np.array([0, 0, 0, 128, 0, 0, 0, 0], np.int16).tobytes()
+    banks = []
+    i = 0
+    while True:
+        i = data.find(anchor, i)
+        if i < 0:
+            break
+        arr = np.frombuffer(data[i : i + 256], np.int16).reshape(16, 8)
+        if arr.shape == (16, 8) and np.all(arr.sum(1) == 128) \
+                and np.all(np.abs(arr) <= 130) \
+                and not np.all(arr[1:] == 0):
+            banks.append(arr.astype(np.int32))
+        i += 2
+    out = {}
+    for b in banks:
+        half = tuple(int(x) for x in b[8])
+        if half == (0, 2, -14, 76, 76, -14, 2, 0):
+            out["regular"] = b
+        elif half == (0, -2, 14, 52, 52, 14, -2, 0):
+            out["smooth"] = b
+        elif half == (-4, 12, -24, 80, 80, -24, 12, -4):
+            out["sharp"] = b
+        elif half == (0, 0, 0, 64, 64, 0, 0, 0):
+            out["bilinear"] = b
+    assert "regular" in out, "regular subpel filter bank not found"
+    return out
+
+
 def main():
     A = load_rodata_u16(LIBAOM)[".rodata"]
     D = load_rodata_u16(LIBDAV1D)[".rodata"]
     os.makedirs(OUT_DIR, exist_ok=True)
+
+    subpel = extract_subpel()
+    np.savez(os.path.join(OUT_DIR, "subpel.npz"), **subpel)
+    print("subpel filter banks:", ", ".join(sorted(subpel)))
 
     quant = extract_quant(A, D)
     np.savez(os.path.join(OUT_DIR, "quant.npz"), **quant)

@@ -77,6 +77,8 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
         encode_intra_v_chunk, encode_intra_v_key_recon, fuse_planes,
         split_compact,
     )
+    from av1tpu.models.intra_wave import encode_intra_wave_key_recon
+    from av1tpu.models.deblock_tpu import lf_levels
 
     from av1tpu.core.scenes import scene_scores, split_scenes
 
@@ -126,8 +128,8 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                                          partitions=partitions)))
         return q
 
-    def pack_key(buf, q):
-        if partitions:
+    def pack_key(buf, q, kind, lf):
+        if kind == "part":
             (count, bm, vals, m16, m32, sp,
              sp64) = split_compact_part(buf, ch, cw)
             if count > len(vals):
@@ -138,9 +140,13 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             count, bm, vals, modes = split_compact(buf, ch, cw)
             if count > len(vals):
                 raise _CapacityExceeded(count)
+            # the wavefront pipeline codes chroma DC_PRED (0)
             tile = packer.pack_tile_compact(bm, vals, ch, cw, q,
-                                            modes=modes)
-        return _wrap_tu(tile, cw, ch, width, height, q, bd)
+                                            modes=modes,
+                                            uv_mode=0 if kind == "wave"
+                                            else 1)
+        return _wrap_tu(tile, cw, ch, width, height, q, bd,
+                        lf=(lf[0], lf[0], lf[1], lf[2]))
 
     ncoef = ch * cw + 2 * (ch // 2) * (cw // 2)
 
@@ -154,15 +160,25 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             # through the whole scene while its bits are paid once
             # (av1an/SVT boost keyframes the same way via --crf hierarchy)
             key_q = max(q - KEY_Q_BOOST, 1) if e0 - s0 > 1 else q
+            lyk, _, luk, lvk = lf_levels(key_q)
+            key_lf = (lyk, luk, lvk)
+            ly_i, _, lu_i, lv_i = lf_levels(q)
+            inter_lf = (ly_i, lu_i, lv_i)
             fused0 = fuse_planes(*planes0, bit_depth=bd)
-            key_fn = (encode_intra_key_recon if partitions
+            # quality preset: wavefront full-mode intra (DC/V/H/D45/D67/
+            # SMOOTH*/PAETH) — the keyframe is the whole scene's transitive
+            # reference, so its quality dominates; fast preset keeps the
+            # row-parallel V-family pipeline
+            key_fn = (encode_intra_wave_key_recon if partitions
                       else encode_intra_v_key_recon)
+            key_kind = "wave" if partitions else "v"
             key_cap = 163840
             while True:  # low-q keyframes can exceed the value capacity:
                 buf, ref = key_fn(jax.device_put(fused0), key_q, ch, cw,
-                                  cap=key_cap)
+                                  cap=key_cap, lf=key_lf)
                 try:
-                    streams.append(pack_key(np.asarray(buf), key_q))
+                    streams.append(pack_key(np.asarray(buf), key_q,
+                                            key_kind, key_lf))
                     break
                 except _CapacityExceeded as e:  # retry, doubled transport
                     key_cap = min(max(key_cap * 2, e.count), ncoef)
@@ -182,7 +198,7 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                           else encode_gop_chunk)
                 while True:
                     bufs, ref = gop_fn(jax.device_put(fused), ref_in, q,
-                                       ch, cw, cap=cap)
+                                       ch, cw, cap=cap, lf=inter_lf)
                     tus = []
                     try:
                         for i in range(k):
@@ -203,8 +219,10 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                                     raise _CapacityExceeded(count)
                                 tile = packer.pack_tile_inter(bm, vals, mv,
                                                               ch, cw, q)
-                            tus.append(_wrap_tu_inter(tile, cw, ch, width,
-                                                      height, q, bd))
+                            tus.append(_wrap_tu_inter(
+                                tile, cw, ch, width, height, q, bd,
+                                lf=(inter_lf[0], inter_lf[0], inter_lf[1],
+                                    inter_lf[2])))
                         break
                     except _CapacityExceeded as e:
                         cap = min(max(cap * 2, e.count), ncoef)
@@ -236,7 +254,10 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                 bufs = np.asarray(chunk_fn(jax.device_put(fused), q, ch,
                                            cw, cap=cap))
                 try:
-                    tus = [pack_key(bufs[i], q) for i in range(k)]
+                    tus = [pack_key(bufs[i], q,
+                                    "part" if partitions else "v",
+                                    (0, 0, 0))
+                           for i in range(k)]
                     break
                 except _CapacityExceeded as e:
                     cap = min(max(cap * 2, e.count), ncoef)
@@ -263,7 +284,8 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
 
 
 def _wrap_tu(tile: bytes, coded_w: int, coded_h: int, render_w: int,
-             render_h: int, qindex: int, bit_depth: int = 8) -> bytes:
+             render_h: int, qindex: int, bit_depth: int = 8,
+             lf=(0, 0, 0, 0)) -> bytes:
     from av1tpu.spec.bits import BitWriter
     from av1tpu.spec.encode_frame import (
         EncoderConfig, make_frame_header, make_sequence_header,
@@ -275,7 +297,8 @@ def _wrap_tu(tile: bytes, coded_w: int, coded_h: int, render_w: int,
         OBU_FRAME, OBU_SEQUENCE_HEADER, build_obu, temporal_delimiter,
     )
 
-    cfg = EncoderConfig(base_q_idx=qindex, bit_depth=bit_depth)
+    cfg = EncoderConfig(base_q_idx=qindex, bit_depth=bit_depth,
+                        loop_filter_level=tuple(lf))
     seq = make_sequence_header(coded_w, coded_h, cfg)
     fh = make_frame_header(seq, cfg)
     fh.render_width, fh.render_height = render_w, render_h
@@ -288,7 +311,8 @@ def _wrap_tu(tile: bytes, coded_w: int, coded_h: int, render_w: int,
 
 
 def _wrap_tu_inter(tile: bytes, coded_w: int, coded_h: int, render_w: int,
-                   render_h: int, qindex: int, bit_depth: int = 8) -> bytes:
+                   render_h: int, qindex: int, bit_depth: int = 8,
+                   lf=(0, 0, 0, 0)) -> bytes:
     from av1tpu.spec.bits import BitWriter
     from av1tpu.spec.encode_frame import (
         EncoderConfig, make_frame_header_inter, make_sequence_header,
@@ -296,7 +320,8 @@ def _wrap_tu_inter(tile: bytes, coded_w: int, coded_h: int, render_w: int,
     from av1tpu.spec.headers import write_frame_header_inter
     from av1tpu.spec.obu import OBU_FRAME, build_obu, temporal_delimiter
 
-    cfg = EncoderConfig(base_q_idx=qindex, bit_depth=bit_depth)
+    cfg = EncoderConfig(base_q_idx=qindex, bit_depth=bit_depth,
+                        loop_filter_level=tuple(lf))
     seq = make_sequence_header(coded_w, coded_h, cfg)
     fh = make_frame_header_inter(seq, cfg)
     fh.render_width, fh.render_height = render_w, render_h

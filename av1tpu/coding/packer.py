@@ -58,6 +58,15 @@ class Packer:
                        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                        ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t]
         self._fn2 = f2
+        f2u = self._lib.pack_tile_v2_uv
+        f2u.restype = ctypes.c_size_t
+        f2u.argtypes = [ctypes.POINTER(ctypes.c_uint16),
+                        ctypes.POINTER(ctypes.c_int16),
+                        ctypes.POINTER(ctypes.c_int16),
+                        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                        ctypes.c_int, ctypes.c_int,
+                        ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t]
+        self._fn2u = f2u
 
     def pack_tile(self, levels_y: np.ndarray, levels_u: np.ndarray,
                   levels_v: np.ndarray, qindex: int,
@@ -84,10 +93,12 @@ class Packer:
     def pack_tile_compact(self, bitmap: np.ndarray, vals: np.ndarray,
                           height: int, width: int, qindex: int,
                           disable_cdf_update: bool = False,
-                          modes: np.ndarray | None = None) -> bytes:
+                          modes: np.ndarray | None = None,
+                          uv_mode: int = 1) -> bytes:
         """Pack from the compact form produced by encode_intra_v_compact:
         significance bitmap (uint16 words) + nonzero values (int16) +
-        optional per-block luma modes (None = all V_PRED).
+        optional per-block luma modes (None = all V_PRED) + a frame-wide
+        chroma mode (V_PRED default; the wavefront pipeline uses DC).
         height/width: padded luma dims (multiples of 64)."""
         bm = np.ascontiguousarray(bitmap, np.uint16)
         vv = np.ascontiguousarray(vals, np.int16)
@@ -100,11 +111,11 @@ class Packer:
         # worst case ~40 bits per coefficient (1.5 coefs per luma pixel)
         cap = height * width * 8 + 65536
         out = (ctypes.c_uint8 * cap)()
-        n = self._fn2(bm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
-                      vv.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-                      mptr,
-                      mi_rows, mi_cols, qindex, int(disable_cdf_update),
-                      out, cap)
+        n = self._fn2u(bm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                       vv.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                       mptr, uv_mode,
+                       mi_rows, mi_cols, qindex, int(disable_cdf_update),
+                       out, cap)
         if n == 0:
             raise RuntimeError("pack_tile_v2 failed (buffer too small?)")
         return bytes(bytearray(out)[:n])

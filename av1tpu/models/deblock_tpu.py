@@ -22,15 +22,43 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _thresholds(lvl: int, sharpness: int):
+def _thresholds(lvl, sharpness: int):
+    """Traced-level thresholds (lvl may be a jnp scalar)."""
     if sharpness > 0:
         shift = 2 if sharpness > 4 else 1
-        limit = int(np.clip(lvl >> shift, 1, 9 - sharpness))
+        limit = jnp.clip(lvl >> shift, 1, 9 - sharpness)
     else:
-        limit = max(1, lvl)
+        limit = jnp.maximum(1, lvl)
     blimit = 2 * (lvl + 2) + limit
     thresh = lvl >> 4
     return limit, blimit, thresh
+
+
+def lf_levels(qindex: int):
+    """Loop-filter level heuristic from qindex (host-side ints; the same
+    values go into the frame header and the device filter)."""
+    ly = int(np.clip(qindex // 4 - 6, 0, 63))
+    lc = ly // 2
+    return ly, ly, lc, lc
+
+
+def edge_gates_j(split32, split64, rows: int, cols: int):
+    """In-graph edge gates from merge split maps via block-id equality:
+    an interior 16-boundary inside a merged 32/64 NONE block is not a
+    tx/prediction edge.  Returns (v_on (rows, cols-1), h_on (rows-1,
+    cols)) bool."""
+    bid = jnp.arange(rows * cols, dtype=jnp.int32).reshape(rows, cols)
+    m32 = jnp.repeat(jnp.repeat(~split32.astype(bool), 2, 0), 2, 1)
+    id32 = jnp.repeat(jnp.repeat(
+        jnp.arange((rows // 2) * (cols // 2), dtype=jnp.int32)
+        .reshape(rows // 2, cols // 2), 2, 0), 2, 1) + rows * cols
+    bid = jnp.where(m32, id32, bid)
+    m64 = jnp.repeat(jnp.repeat(~split64.astype(bool), 4, 0), 4, 1)
+    id64 = jnp.repeat(jnp.repeat(
+        jnp.arange((rows // 4) * (cols // 4), dtype=jnp.int32)
+        .reshape(rows // 4, cols // 4), 4, 0), 4, 1) + 2 * rows * cols
+    bid = jnp.where(m64, id64, bid)
+    return bid[:, 1:] != bid[:, :-1], bid[1:, :] != bid[:-1, :]
 
 
 def _r2(x, n):
@@ -233,41 +261,43 @@ def edge_gates(split32, split64, rows: int, cols: int):
     return v_on, h_on
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("lvl_y", "lvl_u", "lvl_v", "sharpness",
-                                    "bit_depth"))
-def deblock_tpu(y, u, v, v_on16, h_on16, lvl_y: int, lvl_u: int,
-                lvl_v: int, sharpness: int = 0, bit_depth: int = 8):
-    """Apply the loop filter to recon planes.  v_on16/h_on16: per-16-block
-    boundary enables (rows, cols-1)/(rows-1, cols) from edge_gates."""
-    h, w = y.shape
-    # per-line gating: expand block-edge enables to sample lines
-    v_lines = jnp.kron(jnp.asarray(v_on16, jnp.int32),
+def deblock_planes(y, u, v, v_on16, h_on16, lvl_y, lvl_u, lvl_v,
+                   sharpness: int = 0, bit_depth: int = 8):
+    """Apply the loop filter to recon planes (composable inside other
+    jits; levels may be traced scalars — a level of 0 disables the plane
+    pass via the edge gates).  v_on16/h_on16: per-16-block boundary
+    enables (rows, cols-1)/(rows-1, cols) from edge_gates[_j]."""
+    # per-line gating: expand block-edge enables to sample lines; a zero
+    # level gates the whole pass off
+    v16 = jnp.asarray(v_on16)
+    h16 = jnp.asarray(h_on16)
+    v_lines = jnp.kron(v16.astype(jnp.int32),
                        jnp.ones((16, 1), jnp.int32)).astype(bool)
-    h_lines = jnp.kron(jnp.asarray(h_on16, jnp.int32),
-                       jnp.ones((16, 1), jnp.int32).T
-                       ).astype(bool)      # (rows-1, W)
-    h_lines = h_lines.T                    # pass works transposed: (W, ne)
-    if lvl_y > 0:
-        li, bl, th = _thresholds(lvl_y, sharpness)
-        yy = _deblock_plane(y, 16, v_lines, h_lines, li, bl, th,
-                            bit_depth, True)
-    else:
-        yy = y
+    h_lines = jnp.kron(h16.astype(jnp.int32),
+                       jnp.ones((16, 1), jnp.int32).T).astype(bool).T
+    li, bl, th = _thresholds(lvl_y, sharpness)
+    yy = _deblock_plane(y, 16, v_lines & (lvl_y > 0),
+                        h_lines & (lvl_y > 0), li, bl, th, bit_depth,
+                        True)
     # chroma: 8-px blocks; merge gating maps 1:1 (chroma block grid ==
     # luma 16-block grid)
-    hc, wc = u.shape
-    vc_lines = jnp.kron(jnp.asarray(v_on16, jnp.int32),
+    vc_lines = jnp.kron(v16.astype(jnp.int32),
                         jnp.ones((8, 1), jnp.int32)).astype(bool)
-    hc_lines = jnp.kron(jnp.asarray(h_on16, jnp.int32),
+    hc_lines = jnp.kron(h16.astype(jnp.int32),
                         jnp.ones((8, 1), jnp.int32).T).astype(bool).T
-    uu, vv = u, v
-    if lvl_u > 0:
-        li, bl, th = _thresholds(lvl_u, sharpness)
-        uu = _deblock_plane(u, 8, vc_lines, hc_lines, li, bl, th,
-                            bit_depth, False)
-    if lvl_v > 0:
-        li, bl, th = _thresholds(lvl_v, sharpness)
-        vv = _deblock_plane(v, 8, vc_lines, hc_lines, li, bl, th,
-                            bit_depth, False)
+    li, bl, th = _thresholds(lvl_u, sharpness)
+    uu = _deblock_plane(u, 8, vc_lines & (lvl_u > 0),
+                        hc_lines & (lvl_u > 0), li, bl, th, bit_depth,
+                        False)
+    li, bl, th = _thresholds(lvl_v, sharpness)
+    vv = _deblock_plane(v, 8, vc_lines & (lvl_v > 0),
+                        hc_lines & (lvl_v > 0), li, bl, th, bit_depth,
+                        False)
     return yy, uu, vv
+
+
+@functools.partial(jax.jit, static_argnames=("sharpness", "bit_depth"))
+def deblock_tpu(y, u, v, v_on16, h_on16, lvl_y, lvl_u, lvl_v,
+                sharpness: int = 0, bit_depth: int = 8):
+    return deblock_planes(y, u, v, v_on16, h_on16, lvl_y, lvl_u, lvl_v,
+                          sharpness, bit_depth)

@@ -575,9 +575,10 @@ def inter_part_sizes(height: int, width: int):
     return nb, nb32, nb64, ncoef
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width", "cap"))
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "cap", "lf"))
 def _gop_step_part(frame_u8, ref_fused, qindex, height: int, width: int,
-                   cap: int):
+                   cap: int, lf=None):
     """Partitioned _gop_step: one inter frame, union-layout compact
     transport [count, bitmap, vals, split32, split64, mv_y, mv_x]."""
     from av1tpu.models.intra_part import (
@@ -622,14 +623,20 @@ def _gop_step_part(frame_u8, ref_fused, qindex, height: int, width: int,
         o["split64"].reshape(-1).astype(jnp.int16),
         o["mv"][..., 0].reshape(-1).astype(jnp.int16),
         o["mv"][..., 1].reshape(-1).astype(jnp.int16)])
-    new_ref = jnp.concatenate([o["recon_y"].reshape(-1),
-                               o["recon_u"].reshape(-1),
-                               o["recon_v"].reshape(-1)])
+    rcy, rcu, rcv = o["recon_y"], o["recon_u"], o["recon_v"]
+    if lf is not None and any(lf):
+        from av1tpu.models.deblock_tpu import deblock_planes, edge_gates_j
+        rows, cols = height // 16, width // 16
+        v_on, h_on = edge_gates_j(o["split32"], o["split64"], rows, cols)
+        rcy, rcu, rcv = deblock_planes(rcy, rcu, rcv, v_on, h_on,
+                                       lf[0], lf[1], lf[2], 0, bit_depth)
+    new_ref = jnp.concatenate([rcy.reshape(-1), rcu.reshape(-1),
+                               rcv.reshape(-1)])
     return buf, new_ref
 
 
 def encode_gop_chunk_part(frames_u8, ref_fused, qindex, height: int,
-                          width: int, cap: int = 131072):
+                          width: int, cap: int = 131072, lf=None):
     """Partitioned counterpart of encode_gop_chunk (host loop, device
     carry, per-frame buffers fetchable while later frames compute)."""
     frames_u8 = jnp.asarray(frames_u8)
@@ -637,7 +644,7 @@ def encode_gop_chunk_part(frames_u8, ref_fused, qindex, height: int,
     ref = ref_fused
     for k in range(frames_u8.shape[0]):
         buf, ref = _gop_step_part(frames_u8[k], ref, qindex, height, width,
-                                  cap)
+                                  cap, lf)
         bufs.append(buf)
     return bufs, ref
 
@@ -718,11 +725,14 @@ def unpack_levels_inter(bitmap: np.ndarray, vals: np.ndarray, height: int,
     return ly, lu, lv
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width", "cap"))
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "cap", "lf"))
 def _gop_step(frame_u8, ref_fused, qindex, height: int, width: int,
-              cap: int):
+              cap: int, lf=None):
     """One inter frame against the fused running recon.  Returns (compact
-    int16 buffer, new fused recon int32)."""
+    int16 buffer, new fused recon int32).  lf: optional static
+    (ly, lu, lv) loop-filter levels — the in-loop deblock runs on the
+    recon exactly as the decoder will (spec 7.14)."""
     bit_depth = 8 if frame_u8.dtype == jnp.uint8 else 10
     ny = height * width
     nc = ny // 4
@@ -741,14 +751,21 @@ def _gop_step(frame_u8, ref_fused, qindex, height: int, width: int,
                             o["levels_u"].reshape(-1),
                             o["levels_v"].reshape(-1)])
     buf = _compact(flat, o["mv"], cap)
-    new_ref = jnp.concatenate([o["recon_y"].reshape(-1),
-                               o["recon_u"].reshape(-1),
-                               o["recon_v"].reshape(-1)])
+    rcy, rcu, rcv = o["recon_y"], o["recon_u"], o["recon_v"]
+    if lf is not None and any(lf):
+        from av1tpu.models.deblock_tpu import deblock_planes
+        rows, cols = height // 16, width // 16
+        rcy, rcu, rcv = deblock_planes(
+            rcy, rcu, rcv, jnp.ones((rows, cols - 1), bool),
+            jnp.ones((rows - 1, cols), bool), lf[0], lf[1], lf[2],
+            0, bit_depth)
+    new_ref = jnp.concatenate([rcy.reshape(-1), rcu.reshape(-1),
+                               rcv.reshape(-1)])
     return buf, new_ref
 
 
 def encode_gop_chunk(frames_u8, ref_fused, qindex, height: int, width: int,
-                     cap: int = 131072):
+                     cap: int = 131072, lf=None):
     """Encode a chunk of inter frames against a running reconstruction.
 
     frames_u8: (K, n_pixels) fused sources (uint8/uint16; see
@@ -763,7 +780,8 @@ def encode_gop_chunk(frames_u8, ref_fused, qindex, height: int, width: int,
     bufs = []
     ref = ref_fused
     for k in range(frames_u8.shape[0]):
-        buf, ref = _gop_step(frames_u8[k], ref, qindex, height, width, cap)
+        buf, ref = _gop_step(frames_u8[k], ref, qindex, height, width, cap,
+                             lf)
         bufs.append(buf)
     # a list, not a stacked array: callers fetch frame k's buffer while
     # frames k+1.. are still computing (async dispatch)

@@ -469,7 +469,7 @@ def _encode_chroma_dual(src, split, split64, qindex, bit_depth: int = 8):
 
 
 def _part_compact_and_recon(frame_u8, qindex, height: int, width: int,
-                            cap: int):
+                            cap: int, lf=None):
     bit_depth = 8 if frame_u8.dtype == jnp.uint8 else 10
     ny = height * width
     nc = ny // 4
@@ -507,9 +507,15 @@ def _part_compact_and_recon(frame_u8, qindex, height: int, width: int,
         o["modes32"].reshape(-1).astype(jnp.int16),
         o["split"].reshape(-1).astype(jnp.int16),
         o["split64"].reshape(-1).astype(jnp.int16)])
-    recon = jnp.concatenate([o["recon_y"].reshape(-1),
-                             o["recon_u"].reshape(-1),
-                             o["recon_v"].reshape(-1)]).astype(jnp.int32)
+    rcy, rcu, rcv = o["recon_y"], o["recon_u"], o["recon_v"]
+    if lf is not None and any(lf):
+        from av1tpu.models.deblock_tpu import deblock_planes, edge_gates_j
+        rows, cols = height // 16, width // 16
+        v_on, h_on = edge_gates_j(o["split"], o["split64"], rows, cols)
+        rcy, rcu, rcv = deblock_planes(rcy, rcu, rcv, v_on, h_on,
+                                       lf[0], lf[1], lf[2], 0, bit_depth)
+    recon = jnp.concatenate([rcy.reshape(-1), rcu.reshape(-1),
+                             rcv.reshape(-1)]).astype(jnp.int32)
     return buf, recon
 
 
@@ -524,12 +530,16 @@ def encode_intra_part_compact(frame_u8, qindex, height: int, width: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("height", "width", "cap"))
+                   static_argnames=("height", "width", "cap", "lf"))
 def encode_intra_key_recon(frame_u8, qindex, height: int, width: int,
-                           cap: int = 163840):
+                           cap: int = 163840, lf=None):
     """Keyframe for a GOP: compact transport + fused int32 reconstruction
-    (kept on device as the inter scan's starting reference)."""
-    return _part_compact_and_recon(frame_u8, qindex, height, width, cap)
+    (kept on device as the inter scan's starting reference).  lf: static
+    (ly, lu, lv) levels — the recon is deblocked in-loop, with merged
+    32/64 interior edges gated off per the split maps."""
+    buf, recon = _part_compact_and_recon(frame_u8, qindex, height, width,
+                                         cap, lf=lf)
+    return buf, recon
 
 
 @functools.partial(jax.jit,

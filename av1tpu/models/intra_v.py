@@ -335,10 +335,26 @@ def encode_intra_v_compact(frame_u8, qindex: int, height: int, width: int,
         [head, jax.lax.bitcast_convert_type(bitmap, jnp.int16), vals, modes])
 
 
+
+
+def _apply_lf(o, lf, height: int, width: int, bit_depth: int):
+    """In-loop deblock of keyframe recon (uniform 16-block edges)."""
+    if lf is None or not any(lf):
+        return o
+    from av1tpu.models.deblock_tpu import deblock_planes
+    rows, cols = height // 16, width // 16
+    ry, ru, rv = deblock_planes(
+        o["recon_y"], o["recon_u"], o["recon_v"],
+        jnp.ones((rows, cols - 1), bool), jnp.ones((rows - 1, cols), bool),
+        lf[0], lf[1], lf[2], 0, bit_depth)
+    o = dict(o)
+    o["recon_y"], o["recon_u"], o["recon_v"] = ry, ru, rv
+    return o
+
 @functools.partial(jax.jit,
-                   static_argnames=("height", "width", "cap", "rdo"))
+                   static_argnames=("height", "width", "cap", "rdo", "lf"))
 def encode_intra_v_key_recon(frame_u8, qindex: int, height: int, width: int,
-                             cap: int = 163840, rdo: bool = True):
+                             cap: int = 163840, rdo: bool = True, lf=None):
     """Fast-preset keyframe for a GOP: compact transport + fused int32
     reconstruction (device-resident reference for the inter scan)."""
     bit_depth = 8 if frame_u8.dtype == jnp.uint8 else 10
@@ -350,6 +366,7 @@ def encode_intra_v_key_recon(frame_u8, qindex: int, height: int, width: int,
     v = frame_u8[ny + nc :].reshape(height // 2,
                                     width // 2).astype(jnp.int32)
     o = encode_intra_v(y, u, v, qindex, bit_depth=bit_depth, rdo=rdo)
+    o = _apply_lf(o, lf, height, width, bit_depth)
     flat = jnp.concatenate([o["levels_y"].reshape(-1),
                             o["levels_u"].reshape(-1),
                             o["levels_v"].reshape(-1)])

@@ -1,0 +1,365 @@
+"""TPU wavefront intra pipeline: full mode RDO on anti-diagonals.
+
+The row-parallel pipelines (intra_v/intra_part) restrict luma to
+above-row-only modes {V, D45, D67}; on detailed content (textures, screen
+text) the left-edge modes carry most of the intra gain.  This pipeline
+processes the 16x16 block grid along anti-diagonals (SURVEY §7 hard part
+(c)): blocks on a diagonal depend only on earlier diagonals, so each
+lax.scan step codes a whole diagonal batch with the full spec mode set
+{DC, V, H, D45, D67, SMOOTH, SMOOTH_V, SMOOTH_H, PAETH}.
+
+Chroma is 8x8 DC_PRED (derived tx DCT_DCT).  Every prediction mirrors
+av1tpu/spec/predict.py bit-exactly (same availability substitutions),
+which the engine replay tests enforce (tests/test_intra_wave.py).
+
+Keyframes are ~1/240 frames at the production operating point, so the
+longer wavefront schedule (one scan step per diagonal) amortizes to
+negligible per-frame cost while lifting keyframe quality — which every
+inter frame in the scene then references.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from av1tpu.models.intra_v import _plane_params, quantize_coefs
+from av1tpu.ops.transforms_jax import forward_matrix, inverse_transform
+from av1tpu.spec.enums import (
+    D45_PRED, D67_PRED, DC_PRED, H_PRED, PAETH_PRED, SMOOTH_H_PRED,
+    SMOOTH_PRED, SMOOTH_V_PRED, V_PRED,
+)
+from av1tpu.spec.predict import DR_INTRA_DERIVATIVE, SM_WEIGHTS
+
+WAVE_MODES = (DC_PRED, V_PRED, H_PRED, D45_PRED, D67_PRED, SMOOTH_PRED,
+              SMOOTH_V_PRED, SMOOTH_H_PRED, PAETH_PRED)
+# rough per-mode signaling bits (kf_y cdf is context-adaptive; constants
+# bias the RDO toward the cheap/common modes)
+_MODE_BITS = {DC_PRED: 2.0, V_PRED: 3.0, H_PRED: 3.0, D45_PRED: 5.0,
+              D67_PRED: 5.0, SMOOTH_PRED: 4.0, SMOOTH_V_PRED: 5.0,
+              SMOOTH_H_PRED: 5.0, PAETH_PRED: 4.0}
+
+
+def _r2(x, n):
+    return (x + (1 << (n - 1))) >> n
+
+
+def _ur_avail_grid(rows: int, cols: int) -> np.ndarray:
+    """Above-right availability per 16-block (spec BlockDecoded model;
+    matches intra_v._avail_ur_grid)."""
+    m = np.array([[1, 1, 1, 1], [1, 0, 1, 0], [1, 1, 1, 0], [1, 0, 1, 0]],
+                 np.bool_)
+    g = np.zeros((rows, cols), np.bool_)
+    for r in range(1, rows):
+        g[r] = m[r % 4][np.arange(cols) % 4]
+    g[:, cols - 1] = False
+    return g
+
+
+def _diagonals(rows: int, cols: int):
+    """Static wavefront schedule: (ndiag, L) r/c indices + validity.
+
+    Diagonals follow d = 2r + c (the WPP slope): the above-right neighbor
+    (r-1, c+1) then lands on d-1, so above, left, above-left AND
+    above-right contexts are all complete before a block is coded.  A
+    plain r+c anti-diagonal puts (r-1, c+1) on the SAME diagonal and the
+    directional modes read stale context."""
+    nd = 2 * (rows - 1) + cols
+    sched = []
+    for d in range(nd):
+        blocks = [(r, d - 2 * r) for r in range(rows)
+                  if 0 <= d - 2 * r < cols]
+        sched.append(blocks)
+    L = max(len(b) for b in sched)
+    r_i = np.zeros((nd, L), np.int32)
+    c_i = np.zeros((nd, L), np.int32)
+    valid = np.zeros((nd, L), np.bool_)
+    for d, blocks in enumerate(sched):
+        for k, (r, c) in enumerate(blocks):
+            r_i[d, k] = r
+            c_i[d, k] = c
+            valid[d, k] = True
+    return r_i, c_i, valid
+
+
+def _predict_modes(above32, left, corner, have_a, have_l, base):
+    """Vectorized predictions for every WAVE_MODES entry.
+    above32: (L, 32); left: (L, 16); corner: (L,); have_a/have_l: (L,)
+    bool.  Returns (n_modes, L, 16, 16) int32."""
+    L = above32.shape[0]
+    n = 16
+    above = above32[:, :n]
+    preds = []
+    for mode in WAVE_MODES:
+        if mode == DC_PRED:
+            sa = above.sum(axis=1)
+            sl = left.sum(axis=1)
+            both = (sa + sl + n) >> 5
+            a_only = (sa + (n >> 1)) >> 4
+            l_only = (sl + (n >> 1)) >> 4
+            val = jnp.where(have_a & have_l, both,
+                            jnp.where(have_a, a_only,
+                                      jnp.where(have_l, l_only, base)))
+            p = jnp.broadcast_to(val[:, None, None], (L, n, n))
+        elif mode == V_PRED:
+            p = jnp.broadcast_to(above[:, None, :], (L, n, n))
+        elif mode == H_PRED:
+            p = jnp.broadcast_to(left[:, :, None], (L, n, n))
+        elif mode == PAETH_PRED:
+            a = above[:, None, :]
+            lft = left[:, :, None]
+            co = corner[:, None, None]
+            b = a + lft - co
+            pa = jnp.abs(b - a)
+            pl = jnp.abs(b - lft)
+            pc = jnp.abs(b - co)
+            p = jnp.where((pa <= pl) & (pa <= pc),
+                          jnp.broadcast_to(a, (L, n, n)),
+                          jnp.where(pl <= pc,
+                                    jnp.broadcast_to(lft, (L, n, n)),
+                                    jnp.broadcast_to(co, (L, n, n))))
+        elif mode == SMOOTH_PRED:
+            wy = jnp.asarray(SM_WEIGHTS[n], jnp.int32)[None, :, None]
+            wx = jnp.asarray(SM_WEIGHTS[n], jnp.int32)[None, None, :]
+            below = left[:, n - 1][:, None, None]
+            right = above[:, n - 1][:, None, None]
+            num = (wy * above[:, None, :] + (256 - wy) * below
+                   + wx * left[:, :, None] + (256 - wx) * right)
+            p = _r2(num, 9)
+        elif mode == SMOOTH_V_PRED:
+            wy = jnp.asarray(SM_WEIGHTS[n], jnp.int32)[None, :, None]
+            below = left[:, n - 1][:, None, None]
+            p = _r2(wy * above[:, None, :] + (256 - wy) * below, 8)
+        elif mode == SMOOTH_H_PRED:
+            wx = jnp.asarray(SM_WEIGHTS[n], jnp.int32)[None, None, :]
+            right = above[:, n - 1][:, None, None]
+            p = _r2(wx * left[:, :, None] + (256 - wx) * right, 8)
+        else:  # D45 / D67
+            dx = DR_INTRA_DERIVATIVE[45 if mode == D45_PRED else 67]
+            i = np.arange(1, n + 1, dtype=np.int64)[:, None]
+            j = np.arange(n, dtype=np.int64)[None, :]
+            idx = i * dx
+            pos = (idx >> 6) + j
+            shift = ((idx >> 1) & 0x1F).astype(np.int32)
+            max_base = 2 * n - 1
+            b = np.minimum(pos, max_base)
+            b1 = np.minimum(b + 1, max_base)
+            g0 = jnp.take(above32, jnp.asarray(b.ravel()), axis=1)
+            g1 = jnp.take(above32, jnp.asarray(b1.ravel()), axis=1)
+            interp = _r2(g0.reshape(L, n, n) * (32 - jnp.asarray(shift))
+                         + g1.reshape(L, n, n) * jnp.asarray(shift), 5)
+            p = jnp.where(jnp.asarray(pos < max_base)[None],
+                          interp, above32[:, max_base][:, None, None])
+        preds.append(p.astype(jnp.int32))
+    return jnp.stack(preds)
+
+
+def _edges_from_blocks(rec, r_i, c_i, have_a, have_l, ur_ok, base, n):
+    """Edge arrays for a diagonal batch from the carried block tensor
+    rec (rows, cols, n, n).  Returns (above2n (L, 2n), left (L, n),
+    corner (L,)), with the spec's availability substitutions."""
+    rows, cols = rec.shape[:2]
+    rm = jnp.maximum(r_i - 1, 0)
+    cm = jnp.maximum(c_i - 1, 0)
+    cp = jnp.minimum(c_i + 1, cols - 1)
+    above_raw = rec[rm, c_i][:, n - 1, :]          # (L, n)
+    left_raw = rec[r_i, cm][:, :, n - 1]           # (L, n)
+    ur_raw = rec[rm, cp][:, n - 1, :]              # (L, n)
+    corner_raw = rec[rm, cm][:, n - 1, n - 1]      # (L,)
+
+    left0 = left_raw[:, 0]
+    above = jnp.where(have_a[:, None], above_raw,
+                      jnp.where(have_l[:, None], left0[:, None],
+                                base - 1))
+    left = jnp.where(have_l[:, None], left_raw,
+                     jnp.where(have_a[:, None], above_raw[:, 0:1],
+                               base + 1))
+    corner = jnp.where(have_a & have_l, corner_raw,
+                       jnp.where(have_a, above[:, 0],
+                                 jnp.where(have_l, left[:, 0], base)))
+    ur = jnp.where((ur_ok & have_a)[:, None], ur_raw,
+                   above[:, n - 1][:, None])
+    return jnp.concatenate([above, ur], axis=1), left, corner
+
+
+@functools.partial(jax.jit, static_argnames=("bit_depth",))
+def encode_intra_wave(y, u, v, qindex, bit_depth: int = 8):
+    """Full-frame wavefront intra encode.  Returns level grids, recon
+    planes and per-block luma modes (uv is DC_PRED everywhere)."""
+    h, w = y.shape
+    rows, cols = h // 16, w // 16
+    base = 1 << (bit_depth - 1)
+    pix_max = (1 << bit_depth) - 1
+    nd = rows + cols - 1
+    L = min(rows, cols)
+
+    fwd16 = jnp.asarray(forward_matrix(16, 16, 0))
+    fwd8 = jnp.asarray(forward_matrix(8, 8, 0))     # chroma DC -> DCT
+    step16, q16, cap16 = _plane_params(qindex, 16, bit_depth)
+    step8, q8, cap8 = _plane_params(qindex, 8, bit_depth)
+    ac = step16[1]
+    lam = (ac * ac * 0.0234).astype(jnp.float32)
+    mode_bits = jnp.asarray([_MODE_BITS[m] for m in WAVE_MODES],
+                            jnp.float32)
+    mode_vals = jnp.asarray(WAVE_MODES, jnp.int8)
+
+    src_y = (y.reshape(rows, 16, cols, 16).transpose(0, 2, 1, 3)
+             .astype(jnp.int32))
+    src_u = (u.reshape(rows, 8, cols, 8).transpose(0, 2, 1, 3)
+             .astype(jnp.int32))
+    src_v = (v.reshape(rows, 8, cols, 8).transpose(0, 2, 1, 3)
+             .astype(jnp.int32))
+
+    r_np, c_np, valid_np = _diagonals(rows, cols)
+    ur_np = _ur_avail_grid(rows, cols)
+    xs = {
+        "r": jnp.asarray(r_np), "c": jnp.asarray(c_np),
+        "valid": jnp.asarray(valid_np),
+        "ur": jnp.asarray(ur_np[r_np, c_np] & valid_np),
+    }
+
+    def code_blocks(src, pred, fwd, stepq, q, cap, n):
+        """(..., n, n) -> levels, recon, dist, rate."""
+        sh = src.shape[:-2]
+        resid = (src - pred).reshape(-1, n * n).astype(jnp.float32)
+        lv = quantize_coefs(resid @ fwd.T, stepq, cap)
+        rec = jnp.clip(pred.reshape(-1, n, n)
+                       + inverse_transform((lv * q).reshape(-1, n, n),
+                                           n, n, 0), 0, pix_max)
+        dist = jnp.sum((rec - src.reshape(-1, n, n)) ** 2,
+                       axis=(1, 2)).astype(jnp.float32)
+        a = jnp.abs(lv.astype(jnp.float32))
+        rate = jnp.sum(jnp.where(a > 0, 2.0, 0.0) + jnp.log2(1.0 + a),
+                       axis=1)
+        return (lv.reshape(sh + (n, n)), rec.reshape(sh + (n, n)),
+                dist.reshape(sh), rate.reshape(sh))
+
+    def step(carry, x):
+        rec_y, rec_u, rec_v, lv_y, lv_u, lv_v, modes = carry
+        r_i, c_i, valid, ur_ok = x["r"], x["c"], x["valid"], x["ur"]
+        have_a = (r_i > 0) & valid
+        have_l = (c_i > 0) & valid
+
+        # ---- luma: 9-mode RDO ----
+        above32, left, corner = _edges_from_blocks(
+            rec_y, r_i, c_i, have_a, have_l, ur_ok, base, 16)
+        preds = _predict_modes(above32, left, corner, have_a, have_l,
+                               base)                    # (M, L, 16, 16)
+        src_b = src_y[r_i, c_i]                         # (L, 16, 16)
+        M = preds.shape[0]
+        srcM = jnp.broadcast_to(src_b[None], preds.shape)
+        lv, rec, dist, rate = code_blocks(srcM, preds, fwd16, step16, q16,
+                                          cap16, 16)
+        cost = dist + lam * (rate + mode_bits[:, None])
+        pick = jnp.argmin(cost, axis=0)                 # (L,)
+        sel = lambda t: jnp.take_along_axis(
+            t, pick[None, :, None, None], axis=0)[0]
+        lv_b = sel(lv)
+        rec_b = sel(rec)
+        mode_b = mode_vals[pick]
+
+        # ---- chroma: DC only ----
+        au, lu_e, cu = _edges_from_blocks(rec_u, r_i, c_i, have_a, have_l,
+                                          ur_ok, base, 8)
+        av, lv_e, cv = _edges_from_blocks(rec_v, r_i, c_i, have_a, have_l,
+                                          ur_ok, base, 8)
+
+        def dc8(above2n, left8):
+            sa = above2n[:, :8].sum(axis=1)
+            sl = left8.sum(axis=1)
+            val = jnp.where(have_a & have_l, (sa + sl + 8) >> 4,
+                            jnp.where(have_a, (sa + 4) >> 3,
+                                      jnp.where(have_l, (sl + 4) >> 3,
+                                                base)))
+            return jnp.broadcast_to(val[:, None, None],
+                                    (val.shape[0], 8, 8)).astype(jnp.int32)
+
+        pu = dc8(au, lu_e)
+        pv = dc8(av, lv_e)
+        lvu_b, recu_b, _, _ = code_blocks(src_u[r_i, c_i], pu, fwd8,
+                                          step8, q8, cap8, 8)
+        lvv_b, recv_b, _, _ = code_blocks(src_v[r_i, c_i], pv, fwd8,
+                                          step8, q8, cap8, 8)
+
+        # padding lanes carry duplicate (0, 0) indices; send them
+        # out-of-bounds so mode="drop" discards them instead of racing
+        # the valid lane's write
+        ri_s = jnp.where(valid, r_i, rows)
+        ci_s = jnp.where(valid, c_i, cols)
+        upd = lambda g, vals: g.at[ri_s, ci_s].set(vals, mode="drop")
+        rec_y = upd(rec_y, rec_b)
+        rec_u = upd(rec_u, recu_b)
+        rec_v = upd(rec_v, recv_b)
+        lv_y = upd(lv_y, lv_b.astype(jnp.int16))
+        lv_u = upd(lv_u, lvu_b.astype(jnp.int16))
+        lv_v = upd(lv_v, lvv_b.astype(jnp.int16))
+        modes = modes.at[ri_s, ci_s].set(mode_b, mode="drop")
+        return (rec_y, rec_u, rec_v, lv_y, lv_u, lv_v, modes), None
+
+    init = (jnp.zeros((rows, cols, 16, 16), jnp.int32),
+            jnp.zeros((rows, cols, 8, 8), jnp.int32),
+            jnp.zeros((rows, cols, 8, 8), jnp.int32),
+            jnp.zeros((rows, cols, 16, 16), jnp.int16),
+            jnp.zeros((rows, cols, 8, 8), jnp.int16),
+            jnp.zeros((rows, cols, 8, 8), jnp.int16),
+            jnp.zeros((rows, cols), jnp.int8))
+    (rec_y, rec_u, rec_v, lv_y, lv_u, lv_v,
+     modes), _ = jax.lax.scan(step, init, xs)
+
+    def unblk(t, n):
+        r2, c2 = t.shape[:2]
+        return t.transpose(0, 2, 1, 3).reshape(r2 * n, c2 * n)
+
+    return {"levels_y": lv_y, "levels_u": lv_u, "levels_v": lv_v,
+            "modes": modes,
+            "recon_y": unblk(rec_y, 16), "recon_u": unblk(rec_u, 8),
+            "recon_v": unblk(rec_v, 8)}
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "cap", "lf"))
+def encode_intra_wave_key_recon(frame_u8, qindex, height: int, width: int,
+                                cap: int = 163840, lf=None):
+    """Wavefront keyframe for a GOP: compact transport (same layout as
+    intra_v's [head | bitmap | vals | modes]) + fused int32 recon kept on
+    device as the inter scan's starting reference."""
+    bit_depth = 8 if frame_u8.dtype == jnp.uint8 else 10
+    ny = height * width
+    nc = ny // 4
+    yy = frame_u8[:ny].reshape(height, width).astype(jnp.int32)
+    uu = frame_u8[ny : ny + nc].reshape(height // 2,
+                                        width // 2).astype(jnp.int32)
+    vv = frame_u8[ny + nc :].reshape(height // 2,
+                                     width // 2).astype(jnp.int32)
+    o = encode_intra_wave(yy, uu, vv, qindex, bit_depth=bit_depth)
+    flat = jnp.concatenate([o["levels_y"].reshape(-1),
+                            o["levels_u"].reshape(-1),
+                            o["levels_v"].reshape(-1)])
+    sig = flat != 0
+    m = sig.shape[0]
+    bits = sig.reshape(m // 16, 16).astype(jnp.uint16)
+    bitmap = (bits << jnp.arange(16, dtype=jnp.uint16)).sum(
+        axis=-1, dtype=jnp.uint16)
+    count = jnp.sum(sig.astype(jnp.int32))
+    key = jnp.where(sig, jnp.arange(m, dtype=jnp.int32),
+                    jnp.int32(0x7FFFFFFF))
+    _, vals = jax.lax.sort((key, flat), num_keys=1)
+    head = jnp.stack([count & 0x7FFF, count >> 15]).astype(jnp.int16)
+    buf = jnp.concatenate([head,
+                           jax.lax.bitcast_convert_type(bitmap, jnp.int16),
+                           vals[:cap],
+                           o["modes"].reshape(-1).astype(jnp.int16)])
+    rcy, rcu, rcv = o["recon_y"], o["recon_u"], o["recon_v"]
+    if lf is not None and any(lf):
+        from av1tpu.models.deblock_tpu import deblock_planes
+        rows, cols = height // 16, width // 16
+        rcy, rcu, rcv = deblock_planes(
+            rcy, rcu, rcv, jnp.ones((rows, cols - 1), bool),
+            jnp.ones((rows - 1, cols), bool), lf[0], lf[1], lf[2], 0,
+            bit_depth)
+    recon = jnp.concatenate([rcy.reshape(-1), rcu.reshape(-1),
+                             rcv.reshape(-1)]).astype(jnp.int32)
+    return buf, recon

@@ -471,6 +471,7 @@ struct Grids {
     const int16_t *vals = nullptr;
     // optional per-block luma modes (AV1 mode values; null = all V_PRED)
     const int16_t *modes = nullptr;
+    int uv_mode = 1;                       // chroma mode (V_PRED default)
     std::vector<uint32_t> voff;  // per-block value offset (y, then u, then v)
     int bcols = 0, brows = 0;
     // per-block scratch, filled by load()
@@ -654,7 +655,7 @@ static const int INTRA_MODE_CTX[13] = {0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0};
 static void code_block_common(Tile &T, int r, int c, int n, int mode,
                               const int32_t *ly, const int32_t *lu,
                               const int32_t *lvp, bool zy, bool zu,
-                              bool zv) {
+                              bool zv, int uv = 1 /* V_PRED */) {
     int skip = zy && zu && zv;
     int mi = n / 4;
 
@@ -667,8 +668,9 @@ static void code_block_common(Tile &T, int r, int c, int n, int mode,
     if (mode >= 1 && mode <= 8)           // directional: angle delta 0
         T.co.sym(T.angle_delta[mode - 1], 3);
     int cfl_allowed = n <= 32;            // spec: w,h <= 32
-    T.co.sym(T.uv_mode[cfl_allowed][mode], 1);  // uv V_PRED
-    T.co.sym(T.angle_delta[0], 3);        // uv delta 0
+    T.co.sym(T.uv_mode[cfl_allowed][mode], uv);
+    if (uv >= 1 && uv <= 8)               // directional uv: angle delta 0
+        T.co.sym(T.angle_delta[uv - 1], 3);
 
     for (int i = 0; i < mi; i++) {
         T.above_skip[c + i] = skip;
@@ -704,7 +706,7 @@ static void code_block(Tile &T, Grids &G, int r, int c) {
     G.load(by, bx);
     int mode = G.modes ? (int)G.modes[(size_t)by * G.bcols + bx] : 1;
     code_block_common(T, r, c, 16, mode, G.sy, G.su, G.sv, G.zy, G.zu,
-                      G.zv);
+                      G.zv, G.uv_mode);
 }
 
 static void code_partition_part(Tile &T, GridsPart &G, int r, int c,
@@ -1342,6 +1344,23 @@ size_t pack_tile_v2(const uint16_t *bitmap, const int16_t *vals,
     T.co.update = !disable_update;
     Grids G;
     G.bitmap = bitmap; G.vals = vals; G.modes = modes;
+    G.bcols = mi_cols / 4; G.brows = mi_rows / 4;
+    G.build_offsets();
+    return run_pack(T, G, mi_rows, mi_cols, out, cap);
+}
+
+// v2 with an explicit chroma mode (the wavefront keyframe pipeline codes
+// uv DC_PRED; see av1tpu/models/intra_wave.py)
+size_t pack_tile_v2_uv(const uint16_t *bitmap, const int16_t *vals,
+                       const int16_t *modes, int uv_mode,
+                       int mi_rows, int mi_cols, int qindex,
+                       int disable_update, uint8_t *out, size_t cap) {
+    Tile T;
+    T.init(qindex, mi_rows, mi_cols);
+    T.co.update = !disable_update;
+    Grids G;
+    G.bitmap = bitmap; G.vals = vals; G.modes = modes;
+    G.uv_mode = uv_mode;
     G.bcols = mi_cols / 4; G.brows = mi_rows / 4;
     G.build_offsets();
     return run_pack(T, G, mi_rows, mi_cols, out, cap);

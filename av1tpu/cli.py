@@ -15,6 +15,7 @@ Prints one JSON stats line on success.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import subprocess
@@ -27,8 +28,8 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 AV1_TOOL = os.path.join(REPO, "native", "build", "av1_tool")
 
-
-KEY_Q_BOOST = int(os.environ.get("AV1TPU_KEY_Q_BOOST", "24"))
+# keyframe quality boost (qindex steps below the scene q); --key-q-boost
+KEY_Q_BOOST = 24
 
 
 class _CapacityExceeded(RuntimeError):
@@ -51,9 +52,10 @@ def _pad_plane(a: np.ndarray, h: int, w: int) -> np.ndarray:
 
 
 def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
-                target_quality: float = 0.0, metric: str = "vmaf",
+                target_quality: float = 0.0, metric: str = "tpu_vmaf",
                 partitions: bool = True, scene_threshold: float = 2.5,
-                gop: bool = True) -> tuple[list[bytes], dict]:
+                gop: bool = True, key_q_boost: int = KEY_Q_BOOST,
+                workers: int = 1) -> tuple[list[bytes], dict]:
     """Encode a Clip into AV1 TUs.  gop=True (the production mode) codes one
     keyframe per scene and inter frames in between, matching the reference's
     operating point (av1an --keyint 240, crates/daemon/src/encode/av1an.rs:14);
@@ -110,7 +112,12 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                 _pad_plane(clip.u[i].astype(np.int32), ch // 2, cw // 2),
                 _pad_plane(clip.v[i].astype(np.int32), ch // 2, cw // 2))
 
-    def select_q(planes0):
+    def select_q(planes0, probe_psnr=False):
+        """Pick the scene qindex.  The intra probe at q is a conservative
+        proxy for the emitted stream: the keyframe is actually coded at
+        key_q <= q (better) and inter frames at q, so delivered quality is
+        >= the probe score.  psnr_y in the stats is MEASURED from the
+        emitted frames' reconstruction (GOP mode), not probed."""
         yj = jax.numpy.asarray(planes0[0])
         uj = jax.numpy.asarray(planes0[1])
         vj = jax.numpy.asarray(planes0[2])
@@ -123,10 +130,24 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                                         metric=metric, bit_depth=bd,
                                         partitions=partitions))
         scores.append(score)
-        psnrs.append(float(probe_quality(yj, uj, vj, jax.numpy.int32(q),
-                                         metric="psnr", bit_depth=bd,
-                                         partitions=partitions)))
+        if probe_psnr:
+            psnrs.append(float(probe_quality(yj, uj, vj, jax.numpy.int32(q),
+                                             metric="psnr", bit_depth=bd,
+                                             partitions=partitions)))
         return q
+
+    ny_pad = ch * cw
+    sh8 = bd - 8
+
+    @functools.partial(jax.jit, static_argnames=())
+    def _recon_psnr(ref_fused, src_fused):
+        """Measured luma PSNR of an emitted frame: recon (the exact pixels a
+        decoder produces) vs source, scored in the 8-bit range."""
+        r = (ref_fused[:ny_pad] >> sh8).astype(jax.numpy.float32)
+        s = (src_fused[:ny_pad].astype(jax.numpy.int32) >> sh8).astype(
+            jax.numpy.float32)
+        mse = jax.numpy.maximum(jax.numpy.mean((r - s) ** 2), 1e-10)
+        return 10.0 * jax.numpy.log10(255.0 * 255.0 / mse)
 
     def pack_key(buf, q, kind, lf):
         if kind == "part":
@@ -159,7 +180,7 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             # frame's (transitive) reference, so its distortion propagates
             # through the whole scene while its bits are paid once
             # (av1an/SVT boost keyframes the same way via --crf hierarchy)
-            key_q = max(q - KEY_Q_BOOST, 1) if e0 - s0 > 1 else q
+            key_q = max(q - key_q_boost, 1) if e0 - s0 > 1 else q
             lyk, _, luk, lvk = lf_levels(key_q)
             key_lf = (lyk, luk, lvk)
             ly_i, _, lu_i, lv_i = lf_levels(q)
@@ -173,8 +194,9 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                       else encode_intra_v_key_recon)
             key_kind = "wave" if partitions else "v"
             key_cap = 163840
+            fused0_dev = jax.device_put(fused0)
             while True:  # low-q keyframes can exceed the value capacity:
-                buf, ref = key_fn(jax.device_put(fused0), key_q, ch, cw,
+                buf, ref = key_fn(fused0_dev, key_q, ch, cw,
                                   cap=key_cap, lf=key_lf)
                 try:
                     streams.append(pack_key(np.asarray(buf), key_q,
@@ -182,6 +204,7 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                     break
                 except _CapacityExceeded as e:  # retry, doubled transport
                     key_cap = min(max(key_cap * 2, e.count), ncoef)
+            psnrs.append(float(_recon_psnr(ref, fused0_dev)))
             if progress:
                 progress(s0 + 1, n)
             cap = inter_cap
@@ -227,6 +250,9 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                     except _CapacityExceeded as e:
                         cap = min(max(cap * 2, e.count), ncoef)
                 streams.extend(tus)
+                if k == chunk:  # ref is the recon of the chunk's last
+                    psnrs.append(float(_recon_psnr(  # emitted frame
+                        ref, jax.numpy.asarray(fused[k - 1]))))
                 if progress:
                     progress(base + k, n)
     else:
@@ -244,7 +270,7 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                     [fused, np.repeat(fused[-1:], chunk - k, axis=0)])
 
             if scene_start or not q_used:
-                q = select_q(planes[0])
+                q = select_q(planes[0], probe_psnr=True)
             q_used.append(q)
 
             chunk_fn = (encode_intra_part_chunk if partitions
@@ -380,7 +406,8 @@ def cmd_encode(args) -> int:
                 target_quality=args.target_quality, metric=args.metric,
                 partitions=args.preset == "quality",
                 scene_threshold=args.scene_threshold,
-                gop=not args.all_intra)
+                gop=not args.all_intra, key_q_boost=args.key_q_boost,
+                workers=args.workers)
         log.info("encoded %d frames in %.2fs (%.2f fps), %d scenes",
                  stats["frames"], stats["encode_seconds"],
                  stats["encode_fps"], stats["scenes"])
@@ -414,7 +441,12 @@ def main(argv=None) -> int:
     enc.add_argument("-o", "--output", required=True)
     enc.add_argument("--qindex", type=int, default=72)
     enc.add_argument("--workers", type=int, default=1,
-                     help="accepted for daemon compatibility (single chip)")
+                     help="devices to shard the scene batch across "
+                          "(clamped to jax.device_count())")
+    enc.add_argument("--key-q-boost", type=int, default=KEY_Q_BOOST,
+                     help="keyframe qindex boost below the scene q "
+                          "(RDO: keyframe distortion propagates through "
+                          "the scene; swept on the corpus)")
     enc.add_argument("--chunk", type=int, default=4,
                      help="frames per TPU round-trip")
     enc.add_argument("--temp", default=None, help="temp directory")
@@ -422,8 +454,8 @@ def main(argv=None) -> int:
     enc.add_argument("--target-quality", type=float, default=0.0,
                      help="per-chunk CQ search: pick qindex hitting this "
                           "score on --metric (0 = fixed --qindex)")
-    enc.add_argument("--metric", choices=("vmaf", "ssim", "psnr"),
-                     default="vmaf")
+    enc.add_argument("--metric", choices=("tpu_vmaf", "ssim", "psnr"),
+                     default="tpu_vmaf")
     enc.add_argument("--scene-threshold", type=float, default=2.5,
                      help="scene-cut score threshold (chunking for "
                           "per-scene CQ)")

@@ -19,12 +19,15 @@ import jax.numpy as jnp
 from av1tpu.metrics.quality import psnr, ssim, tpu_vmaf
 from av1tpu.models.intra_v import encode_intra_v
 
-METRICS = {"psnr": psnr, "ssim": ssim, "vmaf": tpu_vmaf}
+# "tpu_vmaf" is the honest name: a VMAF-architecture score calibrated in
+# this framework, NOT numerically interchangeable with libvmaf (see
+# av1tpu/metrics/quality.py docstring).
+METRICS = {"psnr": psnr, "ssim": ssim, "tpu_vmaf": tpu_vmaf}
 
 
 @functools.partial(jax.jit,
                    static_argnames=("metric", "bit_depth", "partitions"))
-def probe_quality(y, u, v, qindex, metric: str = "vmaf",
+def probe_quality(y, u, v, qindex, metric: str = "tpu_vmaf",
                   bit_depth: int = 8, partitions: bool = False):
     """Encode at qindex and score the luma recon against the source.
     Runs entirely on device; returns a scalar.  10-bit planes are scored in
@@ -40,7 +43,7 @@ def probe_quality(y, u, v, qindex, metric: str = "vmaf",
     return METRICS[metric](y >> sh, out["recon_y"] >> sh)
 
 
-def cq_search(y, u, v, target: float, metric: str = "vmaf",
+def cq_search(y, u, v, target: float, metric: str = "tpu_vmaf",
               qmin: int = 8, qmax: int = 255, log=None,
               bit_depth: int = 8,
               partitions: bool = False) -> tuple[int, float]:

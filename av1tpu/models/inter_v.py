@@ -43,13 +43,12 @@ _SPLIT_OVERHEAD_BITS = 12.0  # extra signaling of 4 sub-blocks vs 1 merged
 # Merge-RDO lambda discount: every inter frame is the next frame's
 # reference, so distortion admitted by a merge propagates down the chain
 # while the bit saving is one-time.  Discounting lambda biases the
-# comparison toward quality.  Swept on the corpus (tests/bench notes).
-import os as _os
-_REF_LAM_SCALE = float(_os.environ.get("AV1TPU_REF_LAM", "0.3"))
+# comparison toward quality.  Swept on the corpus (benchmarks/).
+_REF_LAM_SCALE = 0.3
 # MV-rate bias weight in the search (swept on the corpus): real MV cost is
 # the diff from the stack prediction, near zero for coherent motion fields,
 # so the absolute-magnitude proxy must be weighted well below lambda*bits
-_MV_BIAS = float(_os.environ.get("AV1TPU_MV_BIAS", "0.3"))
+_MV_BIAS = 0.3
 
 # search geometry (full-pel luma units; odd MVs allowed — chroma gets
 # normative half-pel interpolation)

@@ -84,9 +84,6 @@ class Deblocker:
                     sz_t = (self.BLOCK_W[self.mi_sizes[r, c]] >> sub)
                     sz_o = (self.BLOCK_W[self.mi_sizes[r, c - step]] >> sub)
                     y = (r * 4) >> sub
-                    n = min(4 >> 0, (mi_rows * 4 - r * 4)) >> sub
-                    n = 4 >> sub if sub == 0 else 4 >> 0
-                    n = 4 if sub == 0 else 4
                     n = (4 * step) >> sub  # 4 luma rows per mi walk step
                     self._filter_edge_v(p, y, min(n, ph - y), x,
                                         min(sz_t, sz_o), plane, limit,
@@ -265,13 +262,6 @@ class Deblocker:
             w[5] = _round2(q6 * 7 + q5 * 2 + q4 * 2 + q3 + q2 + q1 + q0
                            + p0, 4)
             for k in range(-6, 6):
-                base = o.get(k)
-                if base is None:
-                    if k < 0:
-                        base = np.where(m8, seg[:, e + k], seg[:, e + k])
-                    else:
-                        base = seg[:, e + k]
-                sel8 = np.where(m8, base, None) if False else None
                 # selection chain: m14 -> wide, else m8 -> 8-tap (where
                 # defined), else narrow (where defined), else unchanged
                 cur = out[:, e + k]

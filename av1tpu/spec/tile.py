@@ -507,7 +507,11 @@ class TileCoder:
             elif mode == NEARESTMV:
                 mv = stack.stack[0]
             else:  # NEARMV
-                mv = stack.stack[min(ref_mv_idx + 1, stack.num_found - 1)]
+                # spec assign_mv: RefStackMv[RefMvIdx + 1]; the stack is
+                # padded with global MVs to length >= 2, and ref_mv_idx > 0
+                # is only codable when num_found > 2, so the index is always
+                # in range — no clamp (ADVICE r2)
+                mv = stack.stack[ref_mv_idx + 1]
             y_mode = uv_mode = DC_PRED
         else:
             mode = None

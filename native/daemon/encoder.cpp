@@ -128,6 +128,7 @@ EncodeResult run_encode(const std::string &cmd, int timeout_secs,
     int pr = poll(&pfd, 1, 500);
     if (pr > 0) {
       ssize_t n = read(pipefd[0], buf, sizeof buf);
+      if (n < 0 && errno == EINTR) continue;
       if (n <= 0) break;  // EOF (or error): encoder closed stdout
       pending.append(buf, (size_t)n);
       size_t nl;
@@ -147,8 +148,22 @@ EncodeResult run_encode(const std::string &cmd, int timeout_secs,
   close(pipefd[0]);
   if (!pending.empty()) handle_line(pending, &last_stats, on_progress);
 
+  // the deadline stays armed after stdout EOF: an encoder that closes its
+  // pipe but never exits must still be killed (ADVICE r2)
   int status = 0;
-  while (waitpid(pid, &status, 0) < 0 && errno == EINTR) {
+  for (;;) {
+    pid_t w = waitpid(pid, &status, timed_out ? 0 : WNOHANG);
+    if (w == pid) break;
+    if (w < 0) {
+      if (errno == EINTR) continue;
+      break;  // no such child (already reaped?)
+    }
+    if (deadline > 0 && now_monotonic() > deadline) {
+      timed_out = true;
+      kill(-pid, SIGKILL);
+      continue;  // blocking reap after the kill
+    }
+    usleep(100 * 1000);
   }
   if (timed_out) {
     r.error = "encoder timed out after " + std::to_string(timeout_secs) +
@@ -170,7 +185,7 @@ EncodeResult run_encode(const std::string &cmd, int timeout_secs,
     JsonPtr j = Json::parse(last_stats, &ok);
     if (ok && j && j->type == Json::OBJ) {
       if (auto v = j->get("psnr_y")) r.psnr_y = v->as_num();
-      if (auto v = j->get("vmaf")) r.vmaf = v->as_num();
+      if (auto v = j->get("tpu_vmaf")) r.vmaf = v->as_num();
       if (auto v = j->get("encode_fps")) r.encode_fps = v->as_num();
       if (auto v = j->get("frames")) r.frames = (int64_t)v->as_num();
     }

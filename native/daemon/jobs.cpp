@@ -155,7 +155,7 @@ std::string job_to_json(const Job &job) {
   j->set("input_bytes", Json::number((double)job.input_bytes));
   j->set("output_bytes", Json::number((double)job.output_bytes));
   j->set("psnr_y", Json::number(job.psnr_y));
-  j->set("vmaf", Json::number(job.vmaf));
+  j->set("tpu_vmaf", Json::number(job.vmaf));
   return j->dumps(2);
 }
 
@@ -187,7 +187,7 @@ bool job_from_json(const std::string &text, Job *out) {
   if (auto v = j->get("output_bytes"))
     out->output_bytes = (uint64_t)v->as_num();
   if (auto v = j->get("psnr_y")) out->psnr_y = v->as_num();
-  if (auto v = j->get("vmaf")) out->vmaf = v->as_num();
+  if (auto v = j->get("tpu_vmaf")) out->vmaf = v->as_num();
   return true;
 }
 

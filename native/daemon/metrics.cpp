@@ -34,7 +34,11 @@ std::string snapshot_to_json(const MetricsSnapshot &s) {
     o->set("total_frames", Json::number((double)m.total_frames));
     o->set("size_in_bytes_before", Json::number((double)m.size_in_bytes_before));
     o->set("size_in_bytes_after", Json::number((double)m.size_in_bytes_after));
-    o->set("vmaf", m.vmaf < 0 ? Json::null() : Json::number(m.vmaf));
+    // "vmaf" stays in the schema for reference parity but is never
+    // populated (the reference never fills it either, metrics.rs:27-29);
+    // the actually-computed score ships under its honest name.
+    o->set("vmaf", Json::null());
+    o->set("tpu_vmaf", m.vmaf < 0 ? Json::null() : Json::number(m.vmaf));
     o->set("psnr", m.psnr < 0 ? Json::null() : Json::number(m.psnr));
     o->set("ssim", m.ssim < 0 ? Json::null() : Json::number(m.ssim));
     jobs->arr.push_back(o);

@@ -55,7 +55,7 @@ def fixtures(tmp_path_factory):
 
 def _write_config(tmp_path, library, fixtures, extra=""):
     stats = tmp_path / "stats.json"
-    stats.write_text('{"psnr_y": 41.5, "vmaf": 93.2, "frames": 12}\n')
+    stats.write_text('{"psnr_y": 41.5, "tpu_vmaf": 93.2, "frames": 12}\n')
     cfg = tmp_path / "config.toml"
     cfg.write_text(f"""
 [cpu]
@@ -116,7 +116,7 @@ def test_full_pipeline_replaces_original(tmp_path, fixtures):
     # quality stats parsed from the encoder's JSON line (the reference left
     # these fields forever empty)
     assert j["psnr_y"] == 41.5
-    assert j["vmaf"] == 93.2
+    assert j["tpu_vmaf"] == 93.2
 
     # second cycle: nothing to do (file content is now AV1 -> gated)
     r2 = _run_once(cfg)

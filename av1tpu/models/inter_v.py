@@ -11,12 +11,16 @@ Motion search is hierarchical and fully vectorized:
      full res, 4-px granularity), row shifts batched into one tensor;
   2. refine: per-block reference patches assembled at the coarse MV
      (static tile concat + masked selects — no TPU gather), then a +-2 px
-     full-pel sweep (static slices, batched).
-Luma MVs are full-pel (any parity) so luma compensation is an exact copy;
-chroma is interpolated at 1/16-pel resolution with the normative 8-tap
-EIGHTTAP-regular filter (_chroma_mc), matching the spec engine's
-`_predict_inter` (av1tpu/spec/tile.py) bit-exactly, including its
-frame-bound clamps (index clips / edge padding here).
+     full-pel sweep (static slices, batched);
+  3. subpel: a +-3/4-px quarter-pel sweep (49 candidates) on re-assembled
+     24x24 patches, every candidate interpolated with the normative 8-tap
+     EIGHTTAP-regular filter (shared horizontal passes per column phase),
+     with the same dominant-offset coherence snap as the integer stages.
+Luma MVs are quarter-pel (even 1/8-pel units — allow_high_precision_mv=0);
+both luma and chroma compensation use the normative separable 8-tap
+interpolation, matching the spec engine's `_predict_inter`
+(av1tpu/spec/tile.py) bit-exactly, including its frame-bound clamps
+(index clips / edge padding here).
 
 Residuals: luma DCT 16x16, chroma DCT 8x8 (inter chroma derives DCT_DCT,
 spec tile.py:826), deadzone quantization shared with the intra pipeline.
@@ -249,12 +253,142 @@ def _subpel_bank() -> np.ndarray:
     return np.asarray(tables.subpel_filters()["regular"], np.int32)
 
 
-def _chroma_mc(ref, mv_px, pix_max):
-    """8x8 chroma motion compensation for full-pel luma MVs of any parity
-    (spec 7.11.3: separable 8-tap EIGHTTAP-regular at 1/16-pel chroma
-    resolution, rounding 3 then 11).  Bit-exact vs the engine's
-    _predict_inter (av1tpu/spec/tile.py)."""
-    mv8 = mv_px * 8                       # 1/8-pel luma units
+def _patches24_select(ref, coarse_px, off_px):
+    """Per-block 24x24 reference patches centered (pad 4) on the full-pel
+    MV coarse+off, WITHOUT a gather (same technique as _patches_select but
+    on 64x64 tiles so the 8-tap filter margins fit).  coarse_px: (rows,
+    cols, 2) multiples of 4 in [-32, 32]; off_px: (rows, cols, 2) in
+    [-2, 2].  Frame-bound clamping of the normative predictor becomes edge
+    padding."""
+    h, w = ref.shape
+    rows, cols = h // 16, w // 16
+    A_r = (coarse_px[..., 0] + 32) // 16 - 2          # [-2, 2]
+    B_r = coarse_px[..., 0] - 16 * A_r                # {0, 4, 8, 12}
+    A_c = (coarse_px[..., 1] + 32) // 16 - 2
+    B_c = coarse_px[..., 1] - 16 * A_c
+
+    # 64x64 tiles covering block rows (r + A - 1 .. r + A + 2): refp padded
+    # by 4 blocks; X64 over the +-2-block extended grid
+    refp = jnp.pad(ref, 64, mode="edge")
+    rowsE, colsE = rows + 4, cols + 4
+    Bp = (refp.reshape(rows + 8, 16, cols + 8, 16)
+          .transpose(0, 2, 1, 3))                # (rows+8, cols+8, 16, 16)
+    XR = jnp.concatenate([Bp[1 + k : 1 + k + rowsE] for k in range(4)],
+                         axis=2)                 # (rowsE, cols+8, 64, 16)
+    X = jnp.concatenate([XR[:, 1 + k : 1 + k + colsE] for k in range(4)],
+                        axis=3)                  # (rowsE, colsE, 64, 64)
+
+    Y = jnp.zeros((rows, cols, 64, 64), jnp.int32)
+    for a in range(-2, 3):
+        row_m = A_r == a
+        for a2 in range(-2, 3):
+            m = (row_m & (A_c == a2))[..., None, None]
+            Y = Y + jnp.where(
+                m, X[2 + a : 2 + a + rows, 2 + a2 : 2 + a2 + cols], 0)
+
+    # 1-px remainder: patch row k = tile row 12 + (B + off) + k,
+    # B + off in [-2, 14]
+    s_r = B_r + off_px[..., 0]
+    s_c = B_c + off_px[..., 1]
+    Z = jnp.zeros((rows, cols, 24, 64), jnp.int32)
+    for s in range(-2, 15):
+        m = (s_r == s)[..., None, None]
+        Z = Z + jnp.where(m, Y[:, :, 12 + s : 12 + s + 24, :], 0)
+    P = jnp.zeros((rows, cols, 24, 24), jnp.int32)
+    for s in range(-2, 15):
+        m = (s_c == s)[..., None, None]
+        P = P + jnp.where(m, Z[..., 12 + s : 12 + s + 24], 0)
+    return P
+
+
+_SUBPEL_D = (-6, -4, -2, 0, 2, 4, 6)   # 1/8-pel offsets (quarter-pel grid)
+
+
+def _subpel_refine(src_b, P24, mv_px, lam, pix_max):
+    """Quarter-pel sweep around the full-pel winner.  src_b: (rows, cols,
+    16, 16); P24: 24x24 patches at mv_px (pad 4).  Every candidate is the
+    NORMATIVE motion-compensated prediction (8-tap EIGHTTAP-regular,
+    InterRound0/1), so the winning pred is bit-exact vs the spec engine.
+    Returns (mv8 1/8-pel, pred)."""
+    bank = _subpel_bank()
+    shape = src_b.shape[:2]
+
+    # shared horizontal passes, one per column offset (phase + int shift);
+    # P24[..., r, c] = ref[16R + mv + (r - 4), 16C + mv + (c - 4)]
+    hors = {}
+    for dx in _SUBPEL_D:
+        ix = dx >> 3                       # arithmetic: -1 for dx<0 else 0
+        fx = (dx & 7) << 1                 # 1/16-pel phase {0, 4, 8, 12}
+        f = bank[fx]
+        h = jnp.zeros(shape + (24, 16), jnp.int32)
+        for k in range(8):
+            h = h + int(f[k]) * P24[..., :, 1 + ix + k : 17 + ix + k]
+        hors[dx] = (h + 4) >> 3            # InterRound0
+
+    best_cost = jnp.full(shape, jnp.inf, jnp.float32)
+    best_sad = jnp.full(shape, jnp.inf, jnp.float32)
+    best_d = jnp.zeros(shape + (2,), jnp.int32)
+    best_pred = jnp.zeros_like(src_b)
+    sads = []
+    offs = []
+    for dy in _SUBPEL_D:
+        iy = dy >> 3
+        fy = (dy & 7) << 1
+        g = bank[fy]
+        for dx in _SUBPEL_D:
+            v = jnp.zeros(shape + (16, 16), jnp.int32)
+            hh = hors[dx]
+            for k in range(8):
+                v = v + int(g[k]) * hh[..., 1 + iy + k : 17 + iy + k, :]
+            v = jnp.clip((v + 1024) >> 11, 0, pix_max)   # InterRound1
+            sad = jnp.abs(src_b - v).sum(axis=(2, 3)).astype(jnp.float32)
+            sads.append(sad)
+            offs.append((dy, dx))
+            # quarter-pel components add fr bits to the coded diff
+            bias = lam * _MV_BIAS * (2.0 * (dy != 0) + 2.0 * (dx != 0))
+            cost = sad + bias
+            take = cost < best_cost
+            best_cost = jnp.where(take, cost, best_cost)
+            best_sad = jnp.where(take, sad, best_sad)
+            best_d = jnp.where(take[..., None],
+                               jnp.asarray([dy, dx], jnp.int32), best_d)
+            best_pred = jnp.where(take[..., None, None], v, best_pred)
+
+    # dominant-offset coherence snap (same rationale as the integer
+    # stages): per-block subpel offsets decorrelate an otherwise-uniform
+    # MV field, turning free NEAREST/GLOBAL signaling into per-block NEWMV
+    # diffs; snap to the frame-dominant offset where nearly as good
+    totals = jnp.stack([s.sum() for s in sads])
+    gi = jnp.argmin(totals)
+    off_arr = jnp.asarray(offs, jnp.int32)             # (49, 2)
+    d_g = off_arr[gi]
+    hor_g = jnp.zeros(shape + (24, 16), jnp.int32)
+    for dx in _SUBPEL_D:
+        hor_g = hor_g + jnp.where(d_g[1] == dx, hors[dx], 0)
+    pred_g = jnp.zeros(shape + (16, 16), jnp.int32)
+    for dy in _SUBPEL_D:
+        iy = dy >> 3
+        g = bank[(dy & 7) << 1]
+        v = jnp.zeros(shape + (16, 16), jnp.int32)
+        for k in range(8):
+            v = v + int(g[k]) * hor_g[..., 1 + iy + k : 17 + iy + k, :]
+        v = jnp.clip((v + 1024) >> 11, 0, pix_max)
+        pred_g = pred_g + jnp.where(d_g[0] == dy, v, 0)
+    sad_g = jnp.abs(src_b - pred_g).sum(axis=(2, 3)).astype(jnp.float32)
+    snap = sad_g <= best_sad + lam * 14.0
+    best_d = jnp.where(snap[..., None], d_g, best_d)
+    best_pred = jnp.where(snap[..., None, None], pred_g, best_pred)
+
+    mv8 = mv_px * 8 + best_d
+    return mv8, best_pred
+
+
+def _chroma_mc(ref, mv8, pix_max):
+    """8x8 chroma motion compensation for 1/8-pel luma MVs (spec 7.11.3:
+    separable 8-tap EIGHTTAP-regular at 1/16-pel chroma resolution,
+    rounding 3 then 11).  Bit-exact vs the engine's _predict_inter
+    (av1tpu/spec/tile.py).  mv8: (rows, cols, 2) in 1/8-pel luma units =
+    1/16-pel chroma units."""
     mv_int = jnp.stack([mv8[..., 0] >> 4, mv8[..., 1] >> 4], -1)
     fy = mv8[..., 0] & 15
     fx = mv8[..., 1] & 15
@@ -295,13 +429,12 @@ def _to_blocks(plane, n: int):
     return (plane.reshape(h // n, n, w // n, n).transpose(0, 2, 1, 3))
 
 
-def _search_mv(y, ref_y, lam):
+def _search_mv(y, ref_y, lam, pix_max):
     """Full luma motion search: quarter-res coarse (+dominant snap), +-2
-    full-pel refine (+dominant snap), then a frame-global ABSOLUTE
-    candidate evaluated at full resolution for every block.  The last step
-    rescues blocks whose quarter-res SAD landscape aliased into a wrong
-    basin that the local refine cannot escape (a uniform shift is one
-    dynamic_slice — cheap).  Returns (mv_px, pred_y, src_b)."""
+    full-pel refine (+dominant snap), a frame-global ABSOLUTE candidate
+    evaluated at full resolution for every block (rescues blocks whose
+    quarter-res SAD landscape aliased into a wrong basin), then the
+    quarter-pel subpel sweep.  Returns (mv8 1/8-pel, pred_y, src_b)."""
     src_q = _block_sad(y, 4) // 16         # 4x4 mean pool (exact ints /16)
     ref_q = _block_sad(ref_y, 4) // 16
     coarse, g_abs = _coarse_search(src_q, ref_q, lam * _MV_BIAS / 16.0,
@@ -321,8 +454,15 @@ def _search_mv(y, ref_y, lam):
     sad_g = jnp.abs(src_b - sblocks).sum(axis=(2, 3)).astype(jnp.float32)
     snap = sad_g <= best_sad + lam * 14.0
     mv_px = jnp.where(snap[..., None], g_full, mv_px)
-    pred_y = jnp.where(snap[..., None, None], sblocks, pred_y)
-    return mv_px, pred_y, src_b
+
+    # every block's MV is coarse + off with off in [-2, 2]: the refine
+    # winner by construction, and the global candidate g_abs + off_g by
+    # the same decomposition — keep the pair for subpel patch assembly
+    coarse_f = jnp.where(snap[..., None], g_abs[None, None], coarse)
+    off_f = mv_px - coarse_f
+    p24 = _patches24_select(ref_y, coarse_f, off_f)
+    mv8, pred_y = _subpel_refine(src_b, p24, mv_px, lam, pix_max)
+    return mv8, pred_y, src_b
 
 
 @functools.partial(jax.jit, static_argnames=("bit_depth",))
@@ -338,13 +478,13 @@ def encode_inter_v(y, u, v, ref_y, ref_u, ref_v, qindex,
     lam = (ac * ac * 0.0234) ** 0.5        # SAD-domain lambda (pixel rdo
     # lambda from the intra partition tuning, sqrt for the L1 domain)
 
-    mv_px, pred_y, src_b = _search_mv(y, ref_y, lam)
-
-    # luma prediction came out of the search (full-pel copy); chroma
-    # is interpolated at 1/16-pel resolution (half-pel for odd luma MVs)
     pix_max = (1 << bit_depth) - 1
-    pred_u = _chroma_mc(ref_u, mv_px, pix_max)
-    pred_v = _chroma_mc(ref_v, mv_px, pix_max)
+    mv8, pred_y, src_b = _search_mv(y, ref_y, lam, pix_max)
+
+    # luma prediction came out of the subpel sweep (normative 8-tap MC);
+    # chroma is interpolated at 1/16-pel chroma resolution
+    pred_u = _chroma_mc(ref_u, mv8, pix_max)
+    pred_v = _chroma_mc(ref_v, mv8, pix_max)
 
     ly, ry = _code_plane_inter(src_b, pred_y, qindex, 16, bit_depth)
     lu, ru = _code_plane_inter(_to_blocks(u, 8), pred_u, qindex, 8,
@@ -352,7 +492,7 @@ def encode_inter_v(y, u, v, ref_y, ref_u, ref_v, qindex,
     lv, rv = _code_plane_inter(_to_blocks(v, 8), pred_v, qindex, 8,
                                bit_depth)
     return {"levels_y": ly, "levels_u": lu, "levels_v": lv,
-            "mv": mv_px * 8,               # 1/8-pel spec units
+            "mv": mv8,                     # 1/8-pel spec units
             "recon_y": ry, "recon_u": ru, "recon_v": rv}
 
 
@@ -403,14 +543,14 @@ def _fwd64_inter():
     return _fwd64()
 
 
-def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv_px, qindex,
+def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
                      bit_depth: int):
     """Partition RDO on top of the 16-grid search results.
 
     src_b/pred_b: (rows, cols, 16, 16) luma; src_cb/pred_cb: pairs of
     (rows, cols, 8, 8) chroma (u, v).  Returns dict of per-size level
     grids, split maps and recon planes (union-layout-ready)."""
-    rows, cols = mv_px.shape[:2]
+    rows, cols = mv8.shape[:2]
     rows32, cols32 = rows // 2, cols // 2
     rows64, cols64 = rows // 4, cols // 4
     pix_max = (1 << bit_depth) - 1
@@ -427,11 +567,11 @@ def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv_px, qindex,
 
     # MV equality maps
     eq32 = jnp.all(
-        mv_px.reshape(rows32, 2, cols32, 2, 2)
-        == mv_px[::2, ::2][:, None, :, None, :], axis=(1, 3, 4))
+        mv8.reshape(rows32, 2, cols32, 2, 2)
+        == mv8[::2, ::2][:, None, :, None, :], axis=(1, 3, 4))
     eq64 = jnp.all(
-        mv_px.reshape(rows64, 4, cols64, 4, 2)
-        == mv_px[::4, ::4][:, None, :, None, :], axis=(1, 3, 4))
+        mv8.reshape(rows64, 4, cols64, 4, 2)
+        == mv8[::4, ::4][:, None, :, None, :], axis=(1, 3, 4))
 
     # ---- 16 leaf (luma + chroma) ----
     lv16, rec16, d16, r16 = _code_nn(src_b, pred_b, fwd16, step16, q16, 0,
@@ -554,15 +694,15 @@ def encode_inter_part(y, u, v, ref_y, ref_u, ref_v, qindex,
     ac = _plane_params(qindex, 16, bit_depth)[0][1]
     lam = (ac * ac * 0.0234) ** 0.5
 
-    mv_px, pred_y, src_b = _search_mv(y, ref_y, lam)
     pix_max = (1 << bit_depth) - 1
-    pred_u = _chroma_mc(ref_u, mv_px, pix_max)
-    pred_v = _chroma_mc(ref_v, mv_px, pix_max)
+    mv8, pred_y, src_b = _search_mv(y, ref_y, lam, pix_max)
+    pred_u = _chroma_mc(ref_u, mv8, pix_max)
+    pred_v = _chroma_mc(ref_v, mv8, pix_max)
 
     out = _inter_partition(src_b, pred_y,
                            (_to_blocks(u, 8), _to_blocks(v, 8)),
-                           (pred_u, pred_v), mv_px, qindex, bit_depth)
-    out["mv"] = mv_px * 8
+                           (pred_u, pred_v), mv8, qindex, bit_depth)
+    out["mv"] = mv8
     return out
 
 

@@ -149,14 +149,19 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
         mse = jax.numpy.maximum(jax.numpy.mean((r - s) ** 2), 1e-10)
         return 10.0 * jax.numpy.log10(255.0 * 255.0 / mse)
 
-    def pack_key(buf, q, kind, lf):
+    def pack_key(buf, q, kind, lf, cdf_out=None):
+        """cdf_out: optional CDF carry blob the keyframe's end-of-frame
+        state is saved into (signalled via disable_frame_end_update_cdf=0;
+        following inter frames load it with primary_ref_frame=0, so
+        entropy contexts adapt across the whole scene instead of
+        resetting per frame)."""
         if kind == "part":
             (count, bm, vals, m16, m32, sp,
              sp64) = split_compact_part(buf, ch, cw)
             if count > len(vals):
                 raise _CapacityExceeded(count)
             tile = packer.pack_tile_part(bm, vals, m16, m32, sp, sp64,
-                                         ch, cw, q)
+                                         ch, cw, q, cdf_out=cdf_out)
         else:
             count, bm, vals, modes = split_compact(buf, ch, cw)
             if count > len(vals):
@@ -165,9 +170,10 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             tile = packer.pack_tile_compact(bm, vals, ch, cw, q,
                                             modes=modes,
                                             uv_mode=0 if kind == "wave"
-                                            else 1)
+                                            else 1, cdf_out=cdf_out)
         return _wrap_tu(tile, cw, ch, width, height, q, bd,
-                        lf=(lf[0], lf[0], lf[1], lf[2]))
+                        lf=(lf[0], lf[0], lf[1], lf[2]),
+                        cdf_save=cdf_out is not None)
 
     ncoef = ch * cw + 2 * (ch // 2) * (cw // 2)
 
@@ -195,12 +201,17 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             key_kind = "wave" if partitions else "v"
             key_cap = 163840
             fused0_dev = jax.device_put(fused0)
+            # CDF carry chain: keyframe saves its end-of-frame CDFs, every
+            # inter frame in the scene loads the previous frame's and saves
+            # its own (primary_ref_frame = LAST)
+            cdfs = packer.new_cdf_blob()
             while True:  # low-q keyframes can exceed the value capacity:
                 buf, ref = key_fn(fused0_dev, key_q, ch, cw,
                                   cap=key_cap, lf=key_lf)
                 try:
                     streams.append(pack_key(np.asarray(buf), key_q,
-                                            key_kind, key_lf))
+                                            key_kind, key_lf,
+                                            cdf_out=cdfs))
                     break
                 except _CapacityExceeded as e:  # retry, doubled transport
                     key_cap = min(max(key_cap * 2, e.count), ncoef)
@@ -223,6 +234,10 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                     bufs, ref = gop_fn(jax.device_put(fused), ref_in, q,
                                        ch, cw, cap=cap, lf=inter_lf)
                     tus = []
+                    # chunk-local CDF chain: committed to `cdfs` only when
+                    # the whole chunk packs (capacity retry restarts from
+                    # the chunk-entry state)
+                    cdfs_c = cdfs.copy()
                     try:
                         for i in range(k):
                             # per-frame fetch: frame i's transfer + host
@@ -234,21 +249,26 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                                 if count > len(vals):
                                     raise _CapacityExceeded(count)
                                 tile = packer.pack_tile_inter_part(
-                                    bm, vals, s32, s64, mv, ch, cw, q)
+                                    bm, vals, s32, s64, mv, ch, cw, q,
+                                    cdf_in=cdfs_c, cdf_out=cdfs_c)
                             else:
                                 count, bm, vals, mv = split_compact_inter(
                                     buf, ch, cw)
                                 if count > len(vals):
                                     raise _CapacityExceeded(count)
-                                tile = packer.pack_tile_inter(bm, vals, mv,
-                                                              ch, cw, q)
+                                tile = packer.pack_tile_inter(
+                                    bm, vals, mv, ch, cw, q,
+                                    cdf_in=cdfs_c, cdf_out=cdfs_c)
                             tus.append(_wrap_tu_inter(
                                 tile, cw, ch, width, height, q, bd,
                                 lf=(inter_lf[0], inter_lf[0], inter_lf[1],
-                                    inter_lf[2])))
+                                    inter_lf[2]), primary_ref=0,
+                                cdf_save=True))
                         break
                     except _CapacityExceeded as e:
                         cap = min(max(cap * 2, e.count), ncoef)
+                        cdfs_c = cdfs.copy()
+                cdfs[:] = cdfs_c
                 streams.extend(tus)
                 if k == chunk:  # ref is the recon of the chunk's last
                     psnrs.append(float(_recon_psnr(  # emitted frame
@@ -311,7 +331,7 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
 
 def _wrap_tu(tile: bytes, coded_w: int, coded_h: int, render_w: int,
              render_h: int, qindex: int, bit_depth: int = 8,
-             lf=(0, 0, 0, 0)) -> bytes:
+             lf=(0, 0, 0, 0), cdf_save: bool = False) -> bytes:
     from av1tpu.spec.bits import BitWriter
     from av1tpu.spec.encode_frame import (
         EncoderConfig, make_frame_header, make_sequence_header,
@@ -327,6 +347,8 @@ def _wrap_tu(tile: bytes, coded_w: int, coded_h: int, render_w: int,
                         loop_filter_level=tuple(lf))
     seq = make_sequence_header(coded_w, coded_h, cfg)
     fh = make_frame_header(seq, cfg)
+    if cdf_save:  # decoder saves end-of-frame CDFs into the ref slots
+        fh.disable_frame_end_update_cdf = 0
     fh.render_width, fh.render_height = render_w, render_h
     bw = BitWriter()
     write_frame_header_key(seq, fh, bw)
@@ -338,7 +360,8 @@ def _wrap_tu(tile: bytes, coded_w: int, coded_h: int, render_w: int,
 
 def _wrap_tu_inter(tile: bytes, coded_w: int, coded_h: int, render_w: int,
                    render_h: int, qindex: int, bit_depth: int = 8,
-                   lf=(0, 0, 0, 0)) -> bytes:
+                   lf=(0, 0, 0, 0), primary_ref: int | None = None,
+                   cdf_save: bool = False) -> bytes:
     from av1tpu.spec.bits import BitWriter
     from av1tpu.spec.encode_frame import (
         EncoderConfig, make_frame_header_inter, make_sequence_header,
@@ -350,6 +373,10 @@ def _wrap_tu_inter(tile: bytes, coded_w: int, coded_h: int, render_w: int,
                         loop_filter_level=tuple(lf))
     seq = make_sequence_header(coded_w, coded_h, cfg)
     fh = make_frame_header_inter(seq, cfg)
+    if primary_ref is not None:  # CDFs carried from LAST's saved state
+        fh.primary_ref_frame = primary_ref
+    if cdf_save:
+        fh.disable_frame_end_update_cdf = 0
     fh.render_width, fh.render_height = render_w, render_h
     bw = BitWriter()
     write_frame_header_inter(seq, fh, bw)

@@ -34,22 +34,29 @@ class Packer:
         f3.argtypes = [ctypes.POINTER(ctypes.c_uint16)] + \
                       [ctypes.POINTER(ctypes.c_int16)] * 5 + \
                       [ctypes.c_int] * 4 + \
-                      [ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t]
+                      [ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+                       _I32P, _I32P]
         self._fn3 = f3
         fp = self._lib.pack_tile_inter_part
         fp.restype = ctypes.c_size_t
         fp.argtypes = [ctypes.POINTER(ctypes.c_uint16)] + \
                       [ctypes.POINTER(ctypes.c_int16)] * 5 + \
                       [ctypes.c_int] * 4 + \
-                      [ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t]
+                      [ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+                       _I32P, _I32P]
         self._fnp = fp
         fi = self._lib.pack_tile_inter
         fi.restype = ctypes.c_size_t
         fi.argtypes = [ctypes.POINTER(ctypes.c_uint16)] + \
                       [ctypes.POINTER(ctypes.c_int16)] * 3 + \
                       [ctypes.c_int] * 4 + \
-                      [ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t]
+                      [ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+                       _I32P, _I32P]
         self._fni = fi
+        fw = self._lib.av1pack_cdf_words
+        fw.restype = ctypes.c_int
+        fw.argtypes = []
+        self.cdf_words = int(fw())
         f2 = self._lib.pack_tile_v2
         f2.restype = ctypes.c_size_t
         f2.argtypes = [ctypes.POINTER(ctypes.c_uint16),
@@ -65,8 +72,22 @@ class Packer:
                         ctypes.POINTER(ctypes.c_int16),
                         ctypes.c_int, ctypes.c_int, ctypes.c_int,
                         ctypes.c_int, ctypes.c_int,
-                        ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t]
+                        ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+                        _I32P, _I32P]
         self._fn2u = f2u
+
+    def new_cdf_blob(self) -> np.ndarray:
+        """Allocate a CDF carry blob (one frame's end-of-frame CDF save;
+        pass as cdf_out to a pack call, then as cdf_in to the next frame's
+        — the C++ equivalent of the decoder's ref-slot CDF save/load)."""
+        return np.zeros(self.cdf_words, np.int32)
+
+    @staticmethod
+    def _cdf_ptrs(cdf_in, cdf_out):
+        null = _I32P()
+        pi = cdf_in.ctypes.data_as(_I32P) if cdf_in is not None else null
+        po = cdf_out.ctypes.data_as(_I32P) if cdf_out is not None else null
+        return pi, po
 
     def pack_tile(self, levels_y: np.ndarray, levels_u: np.ndarray,
                   levels_v: np.ndarray, qindex: int,
@@ -94,7 +115,9 @@ class Packer:
                           height: int, width: int, qindex: int,
                           disable_cdf_update: bool = False,
                           modes: np.ndarray | None = None,
-                          uv_mode: int = 1) -> bytes:
+                          uv_mode: int = 1,
+                          cdf_in: np.ndarray | None = None,
+                          cdf_out: np.ndarray | None = None) -> bytes:
         """Pack from the compact form produced by encode_intra_v_compact:
         significance bitmap (uint16 words) + nonzero values (int16) +
         optional per-block luma modes (None = all V_PRED) + a frame-wide
@@ -115,7 +138,7 @@ class Packer:
                        vv.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
                        mptr, uv_mode,
                        mi_rows, mi_cols, qindex, int(disable_cdf_update),
-                       out, cap)
+                       out, cap, *self._cdf_ptrs(cdf_in, cdf_out))
         if n == 0:
             raise RuntimeError("pack_tile_v2 failed (buffer too small?)")
         return bytes(bytearray(out)[:n])
@@ -123,7 +146,9 @@ class Packer:
     def pack_tile_inter(self, bitmap: np.ndarray, vals: np.ndarray,
                         mv: np.ndarray, height: int, width: int,
                         qindex: int,
-                        disable_cdf_update: bool = False) -> bytes:
+                        disable_cdf_update: bool = False,
+                        cdf_in: np.ndarray | None = None,
+                        cdf_out: np.ndarray | None = None) -> bytes:
         """Pack one inter tile from the compact form produced by
         encode_inter_v/_compact: significance bitmap + nonzero values +
         per-16x16-block MV grid (r16, c16, 2) int 1/8-pel."""
@@ -139,7 +164,8 @@ class Packer:
                       vv.ctypes.data_as(i16p), mvr.ctypes.data_as(i16p),
                       mvc.ctypes.data_as(i16p),
                       height // 4, width // 4, qindex,
-                      int(disable_cdf_update), out, cap)
+                      int(disable_cdf_update), out, cap,
+                      *self._cdf_ptrs(cdf_in, cdf_out))
         if n == 0:
             raise RuntimeError("pack_tile_inter failed (buffer too small?)")
         return bytes(bytearray(out)[:n])
@@ -148,7 +174,9 @@ class Packer:
                              split32: np.ndarray, split64: np.ndarray,
                              mv: np.ndarray, height: int, width: int,
                              qindex: int,
-                             disable_cdf_update: bool = False) -> bytes:
+                             disable_cdf_update: bool = False,
+                             cdf_in: np.ndarray | None = None,
+                             cdf_out: np.ndarray | None = None) -> bytes:
         """Pack one partitioned inter tile (union-layout compact form from
         encode_inter_part/_gop_step_part + split maps + MV grid)."""
         i16p = ctypes.POINTER(ctypes.c_int16)
@@ -168,7 +196,8 @@ class Packer:
                       s64.ctypes.data_as(i16p), mvr.ctypes.data_as(i16p),
                       mvc.ctypes.data_as(i16p),
                       height // 4, width // 4, qindex,
-                      int(disable_cdf_update), out, cap)
+                      int(disable_cdf_update), out, cap,
+                      *self._cdf_ptrs(cdf_in, cdf_out))
         if n == 0:
             raise RuntimeError("pack_tile_inter_part failed")
         return bytes(bytearray(out)[:n])
@@ -177,7 +206,9 @@ class Packer:
                        modes16: np.ndarray, modes32: np.ndarray,
                        split: np.ndarray, split64: np.ndarray,
                        height: int, width: int, qindex: int,
-                       disable_cdf_update: bool = False) -> bytes:
+                       disable_cdf_update: bool = False,
+                       cdf_in: np.ndarray | None = None,
+                       cdf_out: np.ndarray | None = None) -> bytes:
         """Pack from the partition-RDO compact form (intra_part layout)."""
         i16p = ctypes.POINTER(ctypes.c_int16)
         bm = np.ascontiguousarray(bitmap, np.uint16)
@@ -188,7 +219,8 @@ class Packer:
         n = self._fn3(bm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
                       *(a.ctypes.data_as(i16p) for a in arrs),
                       height // 4, width // 4, qindex,
-                      int(disable_cdf_update), out, cap)
+                      int(disable_cdf_update), out, cap,
+                      *self._cdf_ptrs(cdf_in, cdf_out))
         if n == 0:
             raise RuntimeError("pack_tile_v3 failed (buffer too small?)")
         return bytes(bytearray(out)[:n])

@@ -112,6 +112,44 @@ class CdfState:
             "inter_tx3", INTER_TX3_OVERRIDE, (4, 2))
 
 
+def _walk_val(v):
+    if isinstance(v, Cdf):
+        yield v
+    elif isinstance(v, list):
+        for x in v:
+            yield from _walk_val(x)
+    elif isinstance(v, dict):
+        for k in sorted(v):
+            yield from _walk_val(v[k])
+
+
+def iter_cdfs(state: "CdfState"):
+    """Every Cdf of a CdfState in a deterministic order (sorted attribute
+    names, nested lists/dicts in order)."""
+    for name in sorted(vars(state)):
+        yield from _walk_val(getattr(state, name))
+
+
+def snapshot_cdfs(state: "CdfState") -> list[list[int]]:
+    """End-of-frame CDF save (spec: decode_frame_wrapup saves the CDF
+    arrays of the context_update_tile_id tile into each refreshed slot,
+    with the per-CDF symbol counters reset to zero — dav1d
+    cdf_thread_update zeroes the count element on copy)."""
+    return [list(c.icdf) for c in iter_cdfs(state)]
+
+
+def load_cdfs(state: "CdfState", snap: list[list[int]]) -> None:
+    """Frame init with primary_ref_frame != PRIMARY_REF_NONE: CDFs load
+    from the referenced slot's saved state instead of the defaults
+    (counts start at zero)."""
+    cs = list(iter_cdfs(state))
+    assert len(cs) == len(snap), (len(cs), len(snap))
+    for c, s in zip(cs, snap):
+        assert len(c.icdf) == len(s)
+        c.icdf = list(s)
+        c.count = 0
+
+
 class DecCoder:
     """Symbol reader: decodes from a tile payload, adapting CDFs."""
 

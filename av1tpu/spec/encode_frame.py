@@ -12,7 +12,7 @@ import dataclasses
 import numpy as np
 
 from .bits import BitWriter
-from .cdf_state import DecCoder, EncCoder
+from .cdf_state import CdfState, DecCoder, EncCoder, load_cdfs, snapshot_cdfs
 from .enums import BLOCK_16X16
 from .headers import (
     FrameHeader, INTER_FRAME, SequenceHeader, write_frame_header_inter,
@@ -30,6 +30,14 @@ class EncoderConfig:
     disable_cdf_update: int = 0
     loop_filter_level: tuple = (0, 0, 0, 0)
     loop_filter_sharpness: int = 0
+    # CDEF (spec 7.15): cdef_bits = 0, one frame-wide strength preset.
+    # Strengths are the coded header values (sec == 3 means 4).
+    enable_cdef: int = 0
+    cdef_damping: int = 3
+    cdef_y_pri: int = 0
+    cdef_y_sec: int = 0
+    cdef_uv_pri: int = 0
+    cdef_uv_sec: int = 0
 
 
 def make_sequence_header(width: int, height: int,
@@ -42,6 +50,7 @@ def make_sequence_header(width: int, height: int,
     seq.max_frame_width = width
     seq.max_frame_height = height
     seq.bit_depth = cfg.bit_depth
+    seq.enable_cdef = cfg.enable_cdef
     return seq
 
 
@@ -55,6 +64,12 @@ def make_frame_header(seq: SequenceHeader, cfg: EncoderConfig) -> FrameHeader:
     fh.disable_frame_end_update_cdf = 1
     fh.loop_filter_level = cfg.loop_filter_level
     fh.loop_filter_sharpness = cfg.loop_filter_sharpness
+    if cfg.enable_cdef:
+        fh.cdef_damping = cfg.cdef_damping
+        fh.cdef_y_pri_strength = (cfg.cdef_y_pri,)
+        fh.cdef_y_sec_strength = (cfg.cdef_y_sec,)
+        fh.cdef_uv_pri_strength = (cfg.cdef_uv_pri,)
+        fh.cdef_uv_sec_strength = (cfg.cdef_uv_sec,)
     return fh
 
 
@@ -80,15 +95,35 @@ def _maybe_deblock(seq, fh, tc, recon) -> None:
                   tc.skips, tc.is_inters, bit_depth=seq.bit_depth)
 
 
+def _maybe_cdef(seq, fh, tc, recon) -> None:
+    """Apply CDEF to the deblocked reconstruction (spec 7.15) — also part
+    of the coding loop."""
+    if not seq.enable_cdef:
+        return
+    from .cdef import cdef_frame
+    out = cdef_frame(recon, tc.skips,
+                     fh.cdef_y_pri_strength[0], fh.cdef_y_sec_strength[0],
+                     fh.cdef_uv_pri_strength[0], fh.cdef_uv_sec_strength[0],
+                     fh.cdef_damping, bit_depth=seq.bit_depth)
+    for p in range(3):
+        recon[p][:] = out[p]
+
+
 def encode_keyframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                     cfg: EncoderConfig,
-                    planner: Planner | None = None) -> tuple[bytes, list]:
+                    planner: Planner | None = None,
+                    out_cdfs: list | None = None) -> tuple[bytes, list]:
     """Encode one intra frame; returns (obu_bytes_for_one_TU, recon_planes).
 
-    y: (H, W) uint8/uint16; u/v: (H/2, W/2)."""
+    y: (H, W) uint8/uint16; u/v: (H/2, W/2).  out_cdfs: optional list the
+    end-of-frame CDF snapshot is appended to (the keyframe refreshes all
+    slots, so a following inter frame with primary_ref_frame = 0 inits
+    from this state); passing it sets disable_frame_end_update_cdf = 0."""
     height, width = y.shape
     seq = make_sequence_header(width, height, cfg)
     fh = make_frame_header(seq, cfg)
+    if out_cdfs is not None:
+        fh.disable_frame_end_update_cdf = 0
     if planner is None:
         planner = FixedPartitionPlanner(leaf_bsize=cfg.leaf_bsize)
 
@@ -104,7 +139,10 @@ def encode_keyframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     coder = EncCoder(disable_cdf_update=bool(fh.disable_cdf_update))
     tc = TileCoder(seq, fh, coder, recon, source=src, planner=planner)
     tc.code_tile()
+    if out_cdfs is not None:
+        out_cdfs.append(snapshot_cdfs(tc.cdfs))
     _maybe_deblock(seq, fh, tc, recon)
+    _maybe_cdef(seq, fh, tc, recon)
     tile_bytes = coder.done()
 
     bw = BitWriter()
@@ -135,12 +173,23 @@ def make_frame_header_inter(seq: SequenceHeader,
 
 def encode_interframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                       ref_recon: list, cfg: EncoderConfig,
-                      planner: Planner | None = None) -> tuple[bytes, list]:
+                      planner: Planner | None = None,
+                      prev_cdfs=None,
+                      out_cdfs: list | None = None) -> tuple[bytes, list]:
     """Encode one INTER frame against ref_recon (the previous frame's recon
-    planes, mi-grid padded).  Returns (obu_bytes_for_one_TU, recon)."""
+    planes, mi-grid padded).  Returns (obu_bytes_for_one_TU, recon).
+
+    prev_cdfs: the previous frame's end-of-frame CDF snapshot — sets
+    primary_ref_frame = 0 (LAST) so entropy contexts carry across the GOP
+    instead of resetting to defaults.  out_cdfs: optional list this frame's
+    end snapshot is appended to (chains to the next frame)."""
     height, width = y.shape
     seq = make_sequence_header(width, height, cfg)
     fh = make_frame_header_inter(seq, cfg)
+    if prev_cdfs is not None:
+        fh.primary_ref_frame = 0
+    if out_cdfs is not None:
+        fh.disable_frame_end_update_cdf = 0
     if planner is None:
         planner = FixedPartitionPlanner(leaf_bsize=cfg.leaf_bsize)
 
@@ -152,11 +201,18 @@ def encode_interframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     ]
     recon = [np.zeros_like(p) for p in src]
 
+    cdfs = None
+    if prev_cdfs is not None:
+        cdfs = CdfState(fh.base_q_idx)
+        load_cdfs(cdfs, prev_cdfs)
     coder = EncCoder(disable_cdf_update=bool(fh.disable_cdf_update))
     tc = TileCoder(seq, fh, coder, recon, source=src, planner=planner,
-                   ref_planes=ref_recon)
+                   ref_planes=ref_recon, cdfs=cdfs)
     tc.code_tile()
+    if out_cdfs is not None:
+        out_cdfs.append(snapshot_cdfs(tc.cdfs))
     _maybe_deblock(seq, fh, tc, recon)
+    _maybe_cdef(seq, fh, tc, recon)
     tile_bytes = coder.done()
 
     bw = BitWriter()

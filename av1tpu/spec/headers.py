@@ -776,7 +776,8 @@ def write_frame_header_inter(
     seq: SequenceHeader, fh: FrameHeader, bw: BitWriter
 ) -> BitWriter:
     """Write a shown INTER frame header for this encoder's operating point:
-    no order hints, primary_ref_frame = NONE (per-frame CDF reset), all
+    no order hints, primary_ref_frame = NONE (per-frame CDF reset) or 0
+    (LAST: CDFs carried from the previous frame's saved state), all
     seven ref slots -> slot 0 (LAST = previous frame), refresh slot 0,
     force_integer_mv = 0 with allow_high_precision_mv = 0 (the encoder
     restricts itself to quarter/full-pel MVs), non-switchable EIGHTTAP
@@ -797,8 +798,12 @@ def write_frame_header_inter(
     assert not fh.allow_screen_content_tools  # force_integer_mv stays 0
     bw.f(fh.frame_size_override, 1)
     assert not fh.frame_size_override
+    # PRIMARY_REF_NONE resets CDFs per frame; a real slot (production:
+    # 0 = LAST) loads the previous frame's saved CDFs — the 5-15% entropy
+    # tax of per-frame resets is what SVT's anchor never pays
     bw.f(fh.primary_ref_frame, 3)
-    assert fh.primary_ref_frame == PRIMARY_REF_NONE
+    assert (fh.primary_ref_frame == PRIMARY_REF_NONE
+            or fh.primary_ref_frame == 0)
     bw.f(fh.refresh_frame_flags, 8)
     assert fh.refresh_frame_flags != 0xFF
     for i in range(7):
@@ -832,7 +837,16 @@ def write_frame_header_inter(
         bw.f(fh.loop_filter_delta_enabled, 1)
         if fh.loop_filter_delta_enabled:
             bw.f(0, 1)  # no delta updates
-    assert not seq.enable_cdef and not seq.enable_restoration
+    # cdef (same syntax as the key header)
+    if not (fh.coded_lossless or fh.allow_intrabc) and seq.enable_cdef:
+        bw.f(fh.cdef_damping - 3, 2)
+        bw.f(fh.cdef_bits, 2)
+        for i in range(1 << fh.cdef_bits):
+            bw.f(fh.cdef_y_pri_strength[i], 4)
+            bw.f(fh.cdef_y_sec_strength[i], 2)
+            bw.f(fh.cdef_uv_pri_strength[i], 4)
+            bw.f(fh.cdef_uv_sec_strength[i], 2)
+    assert not seq.enable_restoration
     if not fh.coded_lossless:
         bw.f(int(fh.tx_mode == TX_MODE_SELECT), 1)
     bw.f(0, 1)  # reference_select = 0 (single reference mode)

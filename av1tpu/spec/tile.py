@@ -131,7 +131,7 @@ class TileCoder:
                  planner: Planner | None = None,
                  mi_row_start=0, mi_row_end=None,
                  mi_col_start=0, mi_col_end=None,
-                 ref_planes=None):
+                 ref_planes=None, cdfs=None):
         self.seq = seq
         self.fh = fh
         self.coder = coder
@@ -142,7 +142,9 @@ class TileCoder:
         self.ref_planes = ref_planes  # [y, u, v] recon of the LAST frame
         if self.inter_frame:
             assert ref_planes is not None, "inter tile needs a reference"
-        self.cdfs = CdfState(fh.base_q_idx)
+        # primary_ref_frame != NONE loads the referenced slot's saved CDFs
+        # (passed in as `cdfs`) instead of the defaults (spec 7.20 / 5.9.2)
+        self.cdfs = cdfs if cdfs is not None else CdfState(fh.base_q_idx)
         self.planes = planes  # [y, u, v] recon planes sized (mi*4 [>>sub])
         self.mi_rows = fh.mi_rows
         self.mi_cols = fh.mi_cols

@@ -302,6 +302,68 @@ struct Tile {
     }
 };
 
+/* CDF carry across frames -------------------------------------------- */
+/* The decoder saves end-of-frame CDFs into every refreshed slot (counts
+   reset to zero) and a frame with primary_ref_frame != NONE inits from
+   the referenced slot's saved state instead of the defaults.  The blob
+   enumerates every table this packer models (tables never coded by our
+   streams stay at their defaults on both sides, so they need no carry);
+   layout: 17 int32 words (Cdf::v) per table, visit order below. */
+
+template <class F>
+static void visit_cdfs(Tile &T, F f) {
+    for (auto &c : T.partition) f(c);
+    for (auto &row : T.kf_y) for (auto &c : row) f(c);
+    for (auto &row : T.uv_mode) for (auto &c : row) f(c);
+    for (auto &c : T.angle_delta) f(c);
+    for (auto &row : T.ext_tx2) for (auto &c : row) f(c);
+    for (auto &c : T.skip) f(c);
+    for (auto &row : T.txb_skip) for (auto &c : row) f(c);
+    for (auto &row : T.eob_pt256) for (auto &c : row) f(c);
+    for (auto &row : T.eob_pt64) for (auto &c : row) f(c);
+    for (auto &row : T.eob_pt1024) for (auto &c : row) f(c);
+    for (auto &a : T.eob_extra) for (auto &row : a) for (auto &c : row) f(c);
+    for (auto &a : T.base_eob) for (auto &row : a) for (auto &c : row) f(c);
+    for (auto &a : T.base) for (auto &row : a) for (auto &c : row) f(c);
+    for (auto &a : T.br) for (auto &row : a) for (auto &c : row) f(c);
+    for (auto &row : T.dc_sign) for (auto &c : row) f(c);
+    for (auto &c : T.intra_inter_c) f(c);
+    for (auto &row : T.single_ref_c) for (auto &c : row) f(c);
+    for (auto &c : T.newmv_c) f(c);
+    for (auto &c : T.zeromv_c) f(c);
+    for (auto &c : T.refmv_c) f(c);
+    for (auto &c : T.drl_c) f(c);
+    f(T.mv_joints_c);
+    for (auto &c : T.mv_sign_c) f(c);
+    for (auto &c : T.mv_classes_c) f(c);
+    for (auto &c : T.mv_class0_c) f(c);
+    for (auto &row : T.mv_class0_fp_c) for (auto &c : row) f(c);
+    for (auto &c : T.mv_fp_c) f(c);
+    for (auto &row : T.mv_bits_c) for (auto &c : row) f(c);
+    for (auto &c : T.inter_tx3_c) f(c);
+}
+
+static void tile_dump_cdfs(Tile &T, int32_t *out) {
+    visit_cdfs(T, [&](Cdf &c) {
+        memcpy(out, c.v, sizeof(c.v));
+        out += 17;
+    });
+}
+
+static void tile_load_cdfs(Tile &T, const int32_t *in) {
+    visit_cdfs(T, [&](Cdf &c) {
+        memcpy(c.v, in, sizeof(c.v));
+        c.count = 0;     // saved state has counters zeroed (spec 7.20)
+        in += 17;
+    });
+}
+
+static void tile_cdf_io(Tile &T, const int32_t *cdf_in, int32_t *cdf_out,
+                        bool after) {
+    if (!after && cdf_in) tile_load_cdfs(T, cdf_in);
+    if (after && cdf_out) tile_dump_cdfs(T, cdf_out);
+}
+
 /* coefficient helpers ------------------------------------------------ */
 
 static int base_ctx_offset(int row, int col) {  // square txs
@@ -1244,12 +1306,24 @@ static void code_partition_inter_part(Tile &T, GridsPart &G,
 
 extern "C" {
 
+// words in a CDF carry blob (17 int32 per modeled table, visit_cdfs order)
+int av1pack_cdf_words(void) {
+    Tile T;
+    T.init(0, 16, 16);
+    T.init_inter();
+    int n = 0;
+    visit_cdfs(T, [&](Cdf &) { n += 17; });
+    return n;
+}
+
 static size_t run_pack(Tile &T, Grids &G, int mi_rows, int mi_cols,
-                       uint8_t *out, size_t cap) {
+                       uint8_t *out, size_t cap, int32_t *cdf_out) {
     for (int r = 0; r < mi_rows; r += 16)
         for (int c = 0; c < mi_cols; c += 16)
             code_partition(T, G, r, c, 4);
-    return T.co.ec.done(out, cap);
+    size_t n = T.co.ec.done(out, cap);
+    tile_cdf_io(T, nullptr, cdf_out, true);
+    return n;
 }
 
 size_t pack_tile_v1(const int32_t *ly, const int32_t *lu, const int32_t *lv,
@@ -1261,7 +1335,7 @@ size_t pack_tile_v1(const int32_t *ly, const int32_t *lu, const int32_t *lv,
     Grids G;
     G.ly = ly; G.lu = lu; G.lv = lv;
     G.bcols = mi_cols / 4; G.brows = mi_rows / 4;
-    return run_pack(T, G, mi_rows, mi_cols, out, cap);
+    return run_pack(T, G, mi_rows, mi_cols, out, cap, nullptr);
 }
 
 // compact input: significance bitmap + packed nonzero values (see
@@ -1271,9 +1345,12 @@ size_t pack_tile_v3(const uint16_t *bitmap, const int16_t *vals,
                     const int16_t *modes16, const int16_t *modes32,
                     const int16_t *split, const int16_t *split64,
                     int mi_rows, int mi_cols, int qindex, int disable_update,
-                    uint8_t *out, size_t cap) {
+                    uint8_t *out, size_t cap,
+                    const int32_t *cdf_in, int32_t *cdf_out) {
     Tile T;
     T.init(qindex, mi_rows, mi_cols);
+    T.init_inter();     // blob covers inter tables too (stay at defaults)
+    tile_cdf_io(T, cdf_in, nullptr, false);
     T.co.update = !disable_update;
     GridsPart G;
     G.bitmap = bitmap; G.vals = vals;
@@ -1286,7 +1363,9 @@ size_t pack_tile_v3(const uint16_t *bitmap, const int16_t *vals,
     for (int r = 0; r < mi_rows; r += 16)
         for (int c = 0; c < mi_cols; c += 16)
             code_partition_part(T, G, r, c, 4);
-    return T.co.ec.done(out, cap);
+    size_t n = T.co.ec.done(out, cap);
+    tile_cdf_io(T, nullptr, cdf_out, true);
+    return n;
 }
 
 // inter tile: uniform 16x16 inter/LAST blocks; compact levels layout
@@ -1295,10 +1374,12 @@ size_t pack_tile_v3(const uint16_t *bitmap, const int16_t *vals,
 size_t pack_tile_inter(const uint16_t *bitmap, const int16_t *vals,
                        const int16_t *mv_rows, const int16_t *mv_cols,
                        int mi_rows, int mi_cols, int qindex,
-                       int disable_update, uint8_t *out, size_t cap) {
+                       int disable_update, uint8_t *out, size_t cap,
+                       const int32_t *cdf_in, int32_t *cdf_out) {
     Tile T;
     T.init(qindex, mi_rows, mi_cols);
     T.init_inter();
+    tile_cdf_io(T, cdf_in, nullptr, false);
     T.co.update = !disable_update;
     Grids G;
     G.bitmap = bitmap; G.vals = vals;
@@ -1307,7 +1388,9 @@ size_t pack_tile_inter(const uint16_t *bitmap, const int16_t *vals,
     for (int r = 0; r < mi_rows; r += 16)
         for (int c = 0; c < mi_cols; c += 16)
             code_partition_inter(T, G, mv_rows, mv_cols, r, c, 4);
-    return T.co.ec.done(out, cap);
+    size_t n = T.co.ec.done(out, cap);
+    tile_cdf_io(T, nullptr, cdf_out, true);
+    return n;
 }
 
 // partitioned inter tile: union-layout levels (y16 | u8 | v8 with 32/64
@@ -1317,10 +1400,12 @@ size_t pack_tile_inter_part(const uint16_t *bitmap, const int16_t *vals,
                             const int16_t *split32, const int16_t *split64,
                             const int16_t *mv_rows, const int16_t *mv_cols,
                             int mi_rows, int mi_cols, int qindex,
-                            int disable_update, uint8_t *out, size_t cap) {
+                            int disable_update, uint8_t *out, size_t cap,
+                            const int32_t *cdf_in, int32_t *cdf_out) {
     Tile T;
     T.init(qindex, mi_rows, mi_cols);
     T.init_inter();
+    tile_cdf_io(T, cdf_in, nullptr, false);
     T.co.update = !disable_update;
     GridsPart G;
     G.bitmap = bitmap; G.vals = vals;
@@ -1332,7 +1417,9 @@ size_t pack_tile_inter_part(const uint16_t *bitmap, const int16_t *vals,
         for (int c = 0; c < mi_cols; c += 16)
             code_partition_inter_part(T, G, mv_rows, mv_cols, split32,
                                       split64, r, c, 4);
-    return T.co.ec.done(out, cap);
+    size_t n = T.co.ec.done(out, cap);
+    tile_cdf_io(T, nullptr, cdf_out, true);
+    return n;
 }
 
 size_t pack_tile_v2(const uint16_t *bitmap, const int16_t *vals,
@@ -1346,7 +1433,7 @@ size_t pack_tile_v2(const uint16_t *bitmap, const int16_t *vals,
     G.bitmap = bitmap; G.vals = vals; G.modes = modes;
     G.bcols = mi_cols / 4; G.brows = mi_rows / 4;
     G.build_offsets();
-    return run_pack(T, G, mi_rows, mi_cols, out, cap);
+    return run_pack(T, G, mi_rows, mi_cols, out, cap, nullptr);
 }
 
 // v2 with an explicit chroma mode (the wavefront keyframe pipeline codes
@@ -1354,16 +1441,19 @@ size_t pack_tile_v2(const uint16_t *bitmap, const int16_t *vals,
 size_t pack_tile_v2_uv(const uint16_t *bitmap, const int16_t *vals,
                        const int16_t *modes, int uv_mode,
                        int mi_rows, int mi_cols, int qindex,
-                       int disable_update, uint8_t *out, size_t cap) {
+                       int disable_update, uint8_t *out, size_t cap,
+                       const int32_t *cdf_in, int32_t *cdf_out) {
     Tile T;
     T.init(qindex, mi_rows, mi_cols);
+    T.init_inter();     // blob covers inter tables too (stay at defaults)
+    tile_cdf_io(T, cdf_in, nullptr, false);
     T.co.update = !disable_update;
     Grids G;
     G.bitmap = bitmap; G.vals = vals; G.modes = modes;
     G.uv_mode = uv_mode;
     G.bcols = mi_cols / 4; G.brows = mi_rows / 4;
     G.build_offsets();
-    return run_pack(T, G, mi_rows, mi_cols, out, cap);
+    return run_pack(T, G, mi_rows, mi_cols, out, cap, cdf_out);
 }
 
 }  // extern "C"

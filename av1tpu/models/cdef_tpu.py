@@ -230,3 +230,120 @@ def cdef_tpu(y, u, v, skip8, pri_y, sec_y, pri_uv, sec_uv,
              damping: int = 3, bit_depth: int = 8):
     return cdef_planes(y, u, v, skip8, pri_y, sec_y, pri_uv, sec_uv,
                        damping, bit_depth)
+
+
+# ------------------------------------------------------- production glue
+
+def skip16_from_levels(y16, u8, v8):
+    """Coded-skip per 16x16 block from slot-layout level grids — must
+    match the packer's rule exactly (skip = zy && zu && zv,
+    native/coding/pack.cpp code_block_common/code_block_inter): the
+    decoder's CDEF gating reads these coded flags (spec 7.15.1)."""
+    zy = (y16 == 0).all(axis=(2, 3))
+    zu = (u8 == 0).all(axis=(2, 3))
+    zv = (v8 == 0).all(axis=(2, 3))
+    return zy & zu & zv
+
+
+def merge_skip16(skip16, split32, split64):
+    """Effective per-16-slot skip under 32/64 NONE merges: a merged
+    block's single coded skip covers every slot, and it is skip iff all
+    its slots' levels are zero."""
+    r16, c16 = skip16.shape
+    rep2 = lambda a: jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
+    rep4 = lambda a: jnp.repeat(jnp.repeat(a, 4, 0), 4, 1)
+    g32 = skip16.reshape(r16 // 2, 2, c16 // 2, 2).all(axis=(1, 3))
+    s = jnp.where(rep2(~split32.astype(bool)), rep2(g32), skip16)
+    g64 = skip16.reshape(r16 // 4, 4, c16 // 4, 4).all(axis=(1, 3))
+    s = jnp.where(rep4(~split64.astype(bool)), rep4(g64), s)
+    return s
+
+
+def skip8_of(skip16):
+    """Per-8x8-CDEF-unit skip: each 16-block's flag covers its 4 units
+    (all 4 mi of a unit lie inside one coded block)."""
+    return jnp.repeat(jnp.repeat(skip16, 2, 0), 2, 1)
+
+
+def skip8_host(bitmap: np.ndarray, height: int, width: int,
+               split32=None, split64=None) -> np.ndarray:
+    """Host-side skip8 from a compact significance bitmap (the per-slot
+    [y16 | u8 | v8] flat layout shared by every production transport).
+    split maps (part layouts) apply the 32/64 merge rule."""
+    r16, c16 = height // 16, width // 16
+    nb = r16 * c16
+    ncoef = nb * 256 + 2 * nb * 64
+    sig = np.unpackbits(bitmap.view(np.uint8), bitorder="little")[:ncoef]
+    ny = nb * 256
+    y_nz = sig[:ny].reshape(nb, 256).any(axis=1)
+    u_nz = sig[ny : ny + nb * 64].reshape(nb, 64).any(axis=1)
+    v_nz = sig[ny + nb * 64 :].reshape(nb, 64).any(axis=1)
+    s16 = (~(y_nz | u_nz | v_nz)).reshape(r16, c16)
+    if split32 is not None:
+        s16 = np.asarray(merge_skip16(jnp.asarray(s16),
+                                      jnp.asarray(split32),
+                                      jnp.asarray(split64)))
+    return np.repeat(np.repeat(s16, 2, 0), 2, 1)
+
+
+def _unfuse(f, height: int, width: int):
+    ny = height * width
+    nc = ny // 4
+    return (f[:ny].reshape(height, width).astype(jnp.int32),
+            f[ny : ny + nc].reshape(height // 2, width // 2)
+            .astype(jnp.int32),
+            f[ny + nc :].reshape(height // 2, width // 2)
+            .astype(jnp.int32))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "damping",
+                                    "bit_depth"))
+def cdef_fused(ref_fused, skip8, cdef_s, height: int, width: int,
+               damping: int = 3, bit_depth: int = 8):
+    """Apply CDEF to a fused [y|u|v] recon (the CLI's reference carry
+    format).  cdef_s: (4,) int32 coded strengths (pri_y, sec_y, pri_uv,
+    sec_uv)."""
+    y, u, v = _unfuse(ref_fused, height, width)
+    yy, uu, vv = cdef_planes(y, u, v, skip8, cdef_s[0], cdef_s[1],
+                             cdef_s[2], cdef_s[3], damping, bit_depth)
+    return jnp.concatenate([yy.reshape(-1), uu.reshape(-1),
+                            vv.reshape(-1)])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "damping",
+                                    "bit_depth"))
+def cdef_sse_fused(ref_fused, src_fused, skip8, cdef_s, height: int,
+                   width: int, damping: int = 3, bit_depth: int = 8):
+    """Distortion of the CDEF'd recon vs the source (sum of squared error
+    over all planes) — the per-preset score of the frame-level strength
+    search."""
+    y, u, v = _unfuse(ref_fused, height, width)
+    sy, su, sv = _unfuse(src_fused.astype(jnp.int32), height, width)
+    yy, uu, vv = cdef_planes(y, u, v, skip8, cdef_s[0], cdef_s[1],
+                             cdef_s[2], cdef_s[3], damping, bit_depth)
+    e = lambda a, b: jnp.sum((a - b).astype(jnp.float32) ** 2)
+    return e(yy, sy) + e(uu, su) + e(vv, sv)
+
+
+# candidate frame-wide presets for the per-scene strength search
+# (weakest first: SSE ties resolve to less filtering)
+CDEF_PRESETS = np.array([
+    (0, 0, 0, 0), (1, 0, 1, 0), (1, 1, 1, 1), (2, 1, 2, 1),
+    (4, 1, 3, 1), (6, 2, 4, 1), (9, 2, 6, 2), (12, 3, 9, 3),
+], np.int32)
+
+
+def select_strengths(ref_fused, src_fused, skip8, height: int, width: int,
+                     bit_depth: int = 8) -> np.ndarray:
+    """Frame-level CDEF strength search: try each preset, keep the one
+    with least distortion vs the source.  One compiled evaluation reused
+    for every preset (strengths are traced); dispatches are async so the
+    device pipelines the sweep."""
+    sses = [cdef_sse_fused(ref_fused, src_fused, skip8,
+                           jnp.asarray(p), height, width,
+                           bit_depth=bit_depth)
+            for p in CDEF_PRESETS]
+    best = int(np.argmin([float(s) for s in sses]))
+    return CDEF_PRESETS[best]

@@ -518,9 +518,12 @@ def _rate_of(lv):
                    axis=(-2, -1))
 
 
-def _code_nn(src, pred, fwd, step, q, dq_shift: int, cap, pix_max):
+def _code_nn(src, pred, fwd, step, q, dq_shift: int, cap, pix_max,
+             rm=None, qctx=None):
     """Generic n x n DCT residual coding on (..., n, n) blocks.  Returns
-    (levels i32, recon, dist_pix f32, rate f32)."""
+    (levels i32, recon, dist_pix f32, rate f32).  rm: optional
+    rates.RateModel — expected bits from the real coefficient CDFs
+    (qctx: traced quality bucket); without it, the log2 proxy."""
     n = src.shape[-1]
     sh = src.shape[:-2]
     resid = (src - pred).reshape(-1, n * n).astype(jnp.float32)
@@ -533,8 +536,8 @@ def _code_nn(src, pred, fwd, step, q, dq_shift: int, cap, pix_max):
     dist = jnp.sum((rec - src.reshape(-1, n, n)) ** 2,
                    axis=(1, 2)).astype(jnp.float32)
     lv = lv.reshape(sh + (n, n))
-    return (lv, rec.reshape(sh + (n, n)), dist.reshape(sh),
-            _rate_of(lv))
+    rate = rm(lv, qctx) if rm is not None else _rate_of(lv)
+    return lv, rec.reshape(sh + (n, n)), dist.reshape(sh), rate
 
 
 @functools.cache
@@ -565,6 +568,15 @@ def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
     ac = step16[1]
     lam = (ac * ac * 0.0234 * _REF_LAM_SCALE).astype(jnp.float32)
 
+    # expected-bits models from the real coefficient CDFs (rates.py): the
+    # merge RDO compares true costs instead of the log2 level proxy
+    from av1tpu.models.rates import RateModel, qctx_index
+
+    qctx = qctx_index(qindex)
+    rm16y, rm8c = RateModel(16, 0), RateModel(8, 1)
+    rm32y, rm16c = RateModel(32, 0), RateModel(16, 1)
+    rm64y, rm32c = RateModel(64, 0), RateModel(32, 1)
+
     # MV equality maps
     eq32 = jnp.all(
         mv8.reshape(rows32, 2, cols32, 2, 2)
@@ -575,20 +587,22 @@ def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
 
     # ---- 16 leaf (luma + chroma) ----
     lv16, rec16, d16, r16 = _code_nn(src_b, pred_b, fwd16, step16, q16, 0,
-                                     cap16, pix_max)
+                                     cap16, pix_max, rm16y, qctx)
     cl = []
     for sc, pc in zip(src_cb, pred_cb):
-        cl.append(_code_nn(sc, pc, fwd8, step8, q8, 0, cap8, pix_max))
+        cl.append(_code_nn(sc, pc, fwd8, step8, q8, 0, cap8, pix_max,
+                           rm8c, qctx))
     (lu8, recu8, du8, ru8), (lv8, recv8, dv8, rv8) = cl
 
     # ---- 32 merge (luma 32 DCT shift1 + chroma 16 DCT) ----
     s32 = _join_blocks(src_b, 2)
     p32 = _join_blocks(pred_b, 2)
     lv32, rec32, d32, r32 = _code_nn(s32, p32, fwd32, step32 * 0.5, q32, 1,
-                                     cap32, pix_max)
+                                     cap32, pix_max, rm32y, qctx)
     sc16 = [_join_blocks(s, 2) for s in src_cb]
     pc16 = [_join_blocks(p, 2) for p in pred_cb]
-    cc = [_code_nn(s, p, fwd16, step16, q16, 0, cap16, pix_max)
+    cc = [_code_nn(s, p, fwd16, step16, q16, 0, cap16, pix_max,
+                   rm16c, qctx)
           for s, p in zip(sc16, pc16)]
     (lu16, recu16, du16, ru16), (lv16c, recv16, dv16, rv16) = cc
 
@@ -621,10 +635,11 @@ def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
     d64 = jnp.sum((rec64 - s64.reshape(-1, 64, 64)) ** 2,
                   axis=(1, 2)).astype(jnp.float32).reshape(rows64, cols64)
     lv64 = lv64.reshape(rows64, cols64, 32, 32)
-    r64l = _rate_of(lv64)
+    r64l = rm64y(lv64, qctx)
     sc32 = [_join_blocks(s, 4) for s in src_cb]
     pc32 = [_join_blocks(p, 4) for p in pred_cb]
-    c32 = [_code_nn(s, p, fwd32, step32 * 0.5, q32, 1, cap32, pix_max)
+    c32 = [_code_nn(s, p, fwd32, step32 * 0.5, q32, 1, cap32, pix_max,
+                    rm32c, qctx)
            for s, p in zip(sc32, pc32)]
     (lu32, recu32, du32, ru32), (lv32c, recv32, dv32, rv32) = c32
     cost64 = d64 + lam * r64l + du32 + lam * ru32 + dv32 + lam * rv32
@@ -714,12 +729,13 @@ def inter_part_sizes(height: int, width: int):
     return nb, nb32, nb64, ncoef
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("height", "width", "cap", "lf"))
-def _gop_step_part(frame_u8, ref_fused, qindex, height: int, width: int,
-                   cap: int, lf=None):
-    """Partitioned _gop_step: one inter frame, union-layout compact
-    transport [count, bitmap, vals, split32, split64, mv_y, mv_x]."""
+def _gop_step_part_body(frame_u8, ref_fused, qindex, height: int,
+                        width: int, cap: int, lf3=None, cdef_s=None):
+    """Partitioned _gop_step body: one inter frame, union-layout compact
+    transport [count, bitmap, vals, split32, split64, mv_y, mv_x].
+    lf3/cdef_s may be traced (see _gop_step_body); the in-loop filter
+    chain is deblock -> CDEF exactly as the decoder runs it, with the
+    skip gating recomputed from the same level grids the packer codes."""
     from av1tpu.models.intra_part import (
         _embed64, _merge_quads, _merge_tiles4,
     )
@@ -763,19 +779,45 @@ def _gop_step_part(frame_u8, ref_fused, qindex, height: int, width: int,
         o["mv"][..., 0].reshape(-1).astype(jnp.int16),
         o["mv"][..., 1].reshape(-1).astype(jnp.int16)])
     rcy, rcu, rcv = o["recon_y"], o["recon_u"], o["recon_v"]
-    if lf is not None and any(lf):
+    if lf3 is not None:
         from av1tpu.models.deblock_tpu import deblock_planes, edge_gates_j
         rows, cols = height // 16, width // 16
         v_on, h_on = edge_gates_j(o["split32"], o["split64"], rows, cols)
         rcy, rcu, rcv = deblock_planes(rcy, rcu, rcv, v_on, h_on,
-                                       lf[0], lf[1], lf[2], 0, bit_depth)
+                                       lf3[0], lf3[1], lf3[2], 0,
+                                       bit_depth)
+    if cdef_s is not None:
+        from av1tpu.models.cdef_tpu import (
+            cdef_planes, merge_skip16, skip8_of, skip16_from_levels,
+        )
+        s16 = skip16_from_levels(
+            y16.reshape(height // 16, width // 16, 16, 16),
+            u8.reshape(height // 16, width // 16, 8, 8),
+            v8.reshape(height // 16, width // 16, 8, 8))
+        s16 = merge_skip16(s16, o["split32"], o["split64"])
+        rcy, rcu, rcv = cdef_planes(rcy, rcu, rcv, skip8_of(s16),
+                                    cdef_s[0], cdef_s[1], cdef_s[2],
+                                    cdef_s[3], 3, bit_depth)
     new_ref = jnp.concatenate([rcy.reshape(-1), rcu.reshape(-1),
                                rcv.reshape(-1)])
     return buf, new_ref
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "cap", "lf"))
+def _gop_step_part(frame_u8, ref_fused, qindex, height: int, width: int,
+                   cap: int, lf=None, cdef_s=None):
+    """Jit of _gop_step_part_body with static lf levels (the single-device
+    CLI path)."""
+    lf3 = jnp.asarray(lf, jnp.int32) if (lf is not None and any(lf)) \
+        else None
+    return _gop_step_part_body(frame_u8, ref_fused, qindex, height, width,
+                               cap, lf3, cdef_s)
+
+
 def encode_gop_chunk_part(frames_u8, ref_fused, qindex, height: int,
-                          width: int, cap: int = 131072, lf=None):
+                          width: int, cap: int = 131072, lf=None,
+                          cdef_s=None):
     """Partitioned counterpart of encode_gop_chunk (host loop, device
     carry, per-frame buffers fetchable while later frames compute)."""
     frames_u8 = jnp.asarray(frames_u8)
@@ -783,7 +825,7 @@ def encode_gop_chunk_part(frames_u8, ref_fused, qindex, height: int,
     ref = ref_fused
     for k in range(frames_u8.shape[0]):
         buf, ref = _gop_step_part(frames_u8[k], ref, qindex, height, width,
-                                  cap, lf)
+                                  cap, lf, cdef_s)
         bufs.append(buf)
     return bufs, ref
 
@@ -864,14 +906,14 @@ def unpack_levels_inter(bitmap: np.ndarray, vals: np.ndarray, height: int,
     return ly, lu, lv
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("height", "width", "cap", "lf"))
-def _gop_step(frame_u8, ref_fused, qindex, height: int, width: int,
-              cap: int, lf=None):
-    """One inter frame against the fused running recon.  Returns (compact
-    int16 buffer, new fused recon int32).  lf: optional static
-    (ly, lu, lv) loop-filter levels — the in-loop deblock runs on the
-    recon exactly as the decoder will (spec 7.14)."""
+def _gop_step_body(frame_u8, ref_fused, qindex, height: int, width: int,
+                   cap: int, lf3=None, cdef_s=None):
+    """One inter frame against the fused running recon (composable: the
+    single-device jit and the vmapped scene-batched path both wrap this).
+    lf3: None or (3,) loop-filter levels — traced is fine (a level of 0
+    disables the pass via the edge gates); cdef_s: None or (4,) coded
+    CDEF strengths, also traced (zeros pass through).  Returns (compact
+    int16 buffer, new fused recon int32)."""
     bit_depth = 8 if frame_u8.dtype == jnp.uint8 else 10
     ny = height * width
     nc = ny // 4
@@ -891,20 +933,44 @@ def _gop_step(frame_u8, ref_fused, qindex, height: int, width: int,
                             o["levels_v"].reshape(-1)])
     buf = _compact(flat, o["mv"], cap)
     rcy, rcu, rcv = o["recon_y"], o["recon_u"], o["recon_v"]
-    if lf is not None and any(lf):
+    if lf3 is not None:
         from av1tpu.models.deblock_tpu import deblock_planes
         rows, cols = height // 16, width // 16
         rcy, rcu, rcv = deblock_planes(
             rcy, rcu, rcv, jnp.ones((rows, cols - 1), bool),
-            jnp.ones((rows - 1, cols), bool), lf[0], lf[1], lf[2],
+            jnp.ones((rows - 1, cols), bool), lf3[0], lf3[1], lf3[2],
             0, bit_depth)
+    if cdef_s is not None:
+        from av1tpu.models.cdef_tpu import (
+            cdef_planes, skip8_of, skip16_from_levels,
+        )
+        s16 = skip16_from_levels(o["levels_y"], o["levels_u"],
+                                 o["levels_v"])
+        rcy, rcu, rcv = cdef_planes(rcy, rcu, rcv, skip8_of(s16),
+                                    cdef_s[0], cdef_s[1], cdef_s[2],
+                                    cdef_s[3], 3, bit_depth)
     new_ref = jnp.concatenate([rcy.reshape(-1), rcu.reshape(-1),
                                rcv.reshape(-1)])
     return buf, new_ref
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "cap", "lf"))
+def _gop_step(frame_u8, ref_fused, qindex, height: int, width: int,
+              cap: int, lf=None, cdef_s=None):
+    """One inter frame against the fused running recon.  Returns (compact
+    int16 buffer, new fused recon int32).  lf: optional static
+    (ly, lu, lv) loop-filter levels — the in-loop deblock runs on the
+    recon exactly as the decoder will (spec 7.14).  cdef_s: optional (4,)
+    int32 coded CDEF strengths (deblock -> CDEF order, spec 7.15)."""
+    lf3 = jnp.asarray(lf, jnp.int32) if (lf is not None and any(lf)) \
+        else None
+    return _gop_step_body(frame_u8, ref_fused, qindex, height, width,
+                          cap, lf3, cdef_s)
+
+
 def encode_gop_chunk(frames_u8, ref_fused, qindex, height: int, width: int,
-                     cap: int = 131072, lf=None):
+                     cap: int = 131072, lf=None, cdef_s=None):
     """Encode a chunk of inter frames against a running reconstruction.
 
     frames_u8: (K, n_pixels) fused sources (uint8/uint16; see
@@ -920,7 +986,7 @@ def encode_gop_chunk(frames_u8, ref_fused, qindex, height: int, width: int,
     ref = ref_fused
     for k in range(frames_u8.shape[0]):
         buf, ref = _gop_step(frames_u8[k], ref, qindex, height, width, cap,
-                             lf)
+                             lf, cdef_s)
         bufs.append(buf)
     # a list, not a stacked array: callers fetch frame k's buffer while
     # frames k+1.. are still computing (async dispatch)

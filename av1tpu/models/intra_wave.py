@@ -36,11 +36,8 @@ from av1tpu.spec.predict import DR_INTRA_DERIVATIVE, SM_WEIGHTS
 
 WAVE_MODES = (DC_PRED, V_PRED, H_PRED, D45_PRED, D67_PRED, SMOOTH_PRED,
               SMOOTH_V_PRED, SMOOTH_H_PRED, PAETH_PRED)
-# rough per-mode signaling bits (kf_y cdf is context-adaptive; constants
-# bias the RDO toward the cheap/common modes)
-_MODE_BITS = {DC_PRED: 2.0, V_PRED: 3.0, H_PRED: 3.0, D45_PRED: 5.0,
-              D67_PRED: 5.0, SMOOTH_PRED: 4.0, SMOOTH_V_PRED: 5.0,
-              SMOOTH_H_PRED: 5.0, PAETH_PRED: 4.0}
+# per-mode signaling bits from the kf_y_mode CDFs, context-averaged
+# (av1tpu/models/rates.py kf_mode_bits) — replaces hand-set constants
 
 
 def _r2(x, n):
@@ -202,9 +199,12 @@ def encode_intra_wave(y, u, v, qindex, bit_depth: int = 8):
     step8, q8, cap8 = _plane_params(qindex, 8, bit_depth)
     ac = step16[1]
     lam = (ac * ac * 0.0234).astype(jnp.float32)
-    mode_bits = jnp.asarray([_MODE_BITS[m] for m in WAVE_MODES],
-                            jnp.float32)
+    from av1tpu.models.rates import RateModel, kf_mode_bits, qctx_index
+
+    mode_bits = jnp.asarray(kf_mode_bits()[list(WAVE_MODES)])
     mode_vals = jnp.asarray(WAVE_MODES, jnp.int8)
+    qctx = qctx_index(qindex)
+    rm16y = RateModel(16, 0)
 
     src_y = (y.reshape(rows, 16, cols, 16).transpose(0, 2, 1, 3)
              .astype(jnp.int32))
@@ -221,8 +221,9 @@ def encode_intra_wave(y, u, v, qindex, bit_depth: int = 8):
         "ur": jnp.asarray(ur_np[r_np, c_np] & valid_np),
     }
 
-    def code_blocks(src, pred, fwd, stepq, q, cap, n):
-        """(..., n, n) -> levels, recon, dist, rate."""
+    def code_blocks(src, pred, fwd, stepq, q, cap, n, rm=None):
+        """(..., n, n) -> levels, recon, dist, rate.  rm: optional
+        rates.RateModel (real-CDF expected bits; else the log2 proxy)."""
         sh = src.shape[:-2]
         resid = (src - pred).reshape(-1, n * n).astype(jnp.float32)
         lv = quantize_coefs(resid @ fwd.T, stepq, cap)
@@ -231,9 +232,12 @@ def encode_intra_wave(y, u, v, qindex, bit_depth: int = 8):
                                            n, n, 0), 0, pix_max)
         dist = jnp.sum((rec - src.reshape(-1, n, n)) ** 2,
                        axis=(1, 2)).astype(jnp.float32)
-        a = jnp.abs(lv.astype(jnp.float32))
-        rate = jnp.sum(jnp.where(a > 0, 2.0, 0.0) + jnp.log2(1.0 + a),
-                       axis=1)
+        if rm is not None:
+            rate = rm(lv.reshape(-1, n, n), qctx)
+        else:
+            a = jnp.abs(lv.astype(jnp.float32))
+            rate = jnp.sum(jnp.where(a > 0, 2.0, 0.0)
+                           + jnp.log2(1.0 + a), axis=1)
         return (lv.reshape(sh + (n, n)), rec.reshape(sh + (n, n)),
                 dist.reshape(sh), rate.reshape(sh))
 
@@ -252,7 +256,7 @@ def encode_intra_wave(y, u, v, qindex, bit_depth: int = 8):
         M = preds.shape[0]
         srcM = jnp.broadcast_to(src_b[None], preds.shape)
         lv, rec, dist, rate = code_blocks(srcM, preds, fwd16, step16, q16,
-                                          cap16, 16)
+                                          cap16, 16, rm=rm16y)
         cost = dist + lam * (rate + mode_bits[:, None])
         pick = jnp.argmin(cost, axis=0)                 # (L,)
         sel = lambda t: jnp.take_along_axis(
@@ -319,13 +323,13 @@ def encode_intra_wave(y, u, v, qindex, bit_depth: int = 8):
             "recon_v": unblk(rec_v, 8)}
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("height", "width", "cap", "lf"))
-def encode_intra_wave_key_recon(frame_u8, qindex, height: int, width: int,
-                                cap: int = 163840, lf=None):
+def _wave_key_body(frame_u8, qindex, height: int, width: int,
+                   cap: int = 163840, lf3=None):
     """Wavefront keyframe for a GOP: compact transport (same layout as
     intra_v's [head | bitmap | vals | modes]) + fused int32 recon kept on
-    device as the inter scan's starting reference."""
+    device as the inter scan's starting reference.  lf3: None or (3,)
+    loop-filter levels, traced is fine (composable: the single-device jit
+    and the vmapped scene-batched path both wrap this)."""
     bit_depth = 8 if frame_u8.dtype == jnp.uint8 else 10
     ny = height * width
     nc = ny // 4
@@ -353,13 +357,24 @@ def encode_intra_wave_key_recon(frame_u8, qindex, height: int, width: int,
                            vals[:cap],
                            o["modes"].reshape(-1).astype(jnp.int16)])
     rcy, rcu, rcv = o["recon_y"], o["recon_u"], o["recon_v"]
-    if lf is not None and any(lf):
+    if lf3 is not None:
         from av1tpu.models.deblock_tpu import deblock_planes
         rows, cols = height // 16, width // 16
         rcy, rcu, rcv = deblock_planes(
             rcy, rcu, rcv, jnp.ones((rows, cols - 1), bool),
-            jnp.ones((rows - 1, cols), bool), lf[0], lf[1], lf[2], 0,
+            jnp.ones((rows - 1, cols), bool), lf3[0], lf3[1], lf3[2], 0,
             bit_depth)
     recon = jnp.concatenate([rcy.reshape(-1), rcu.reshape(-1),
                              rcv.reshape(-1)]).astype(jnp.int32)
     return buf, recon
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "cap", "lf"))
+def encode_intra_wave_key_recon(frame_u8, qindex, height: int, width: int,
+                                cap: int = 163840, lf=None):
+    """Jit of _wave_key_body with static lf levels (the single-device CLI
+    path)."""
+    lf3 = jnp.asarray(lf, jnp.int32) if (lf is not None and any(lf)) \
+        else None
+    return _wave_key_body(frame_u8, qindex, height, width, cap, lf3)

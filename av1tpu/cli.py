@@ -32,6 +32,29 @@ AV1_TOOL = os.path.join(REPO, "native", "build", "av1_tool")
 KEY_Q_BOOST = 24
 
 
+class _StageClock:
+    """Accumulating per-stage wall-clock timers (stats["stage_seconds"]):
+    localizes where encode time goes on the real chip — device dispatch,
+    host transfer, host pack, probes — without a profiler run."""
+
+    def __init__(self):
+        self.acc: dict[str, float] = {}
+
+    def __call__(self, name: str):
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            t = time.perf_counter()
+            try:
+                yield
+            finally:
+                self.acc[name] = (self.acc.get(name, 0.0)
+                                  + time.perf_counter() - t)
+
+        return _cm()
+
+
 class _CapacityExceeded(RuntimeError):
     """Compact-transport value list overflowed; retry with a larger cap."""
 
@@ -67,7 +90,7 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
     import jax
 
     from av1tpu.coding import Packer
-    from av1tpu.models.cq import cq_search, probe_quality
+    from av1tpu.models.cq import cq_search_multi, probe_quality_multi
     from av1tpu.models.inter_v import (
         encode_gop_chunk, encode_gop_chunk_part, split_compact_inter,
         split_compact_inter_part,
@@ -81,6 +104,9 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
     )
     from av1tpu.models.intra_wave import encode_intra_wave_key_recon
     from av1tpu.models.deblock_tpu import lf_levels
+    from av1tpu.models.cdef_tpu import (
+        cdef_fused, select_strengths, skip8_host,
+    )
 
     from av1tpu.core.scenes import scene_scores, split_scenes
 
@@ -90,6 +116,7 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
     ch = (height + 63) & ~63
     inter_cap = max(131072, (ch * cw) // 8)
     packer = Packer()
+    clock = _StageClock()
     streams: list[bytes] = []
     t0 = time.perf_counter()
     n = clip.num_frames
@@ -98,10 +125,15 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
     psnrs: list[float] = []
 
     # scene-aligned segments (the reference's av1an scene split): q is
-    # selected once per scene, so CQ adapts at cuts instead of every chunk
+    # selected once per scene, so CQ adapts at cuts instead of every chunk.
+    # Luma is stride-decimated 4x on host and shipped in its native dtype:
+    # the score is a diff/activity RATIO (scale-invariant), and full-res
+    # int32 luma of a long clip is tens-to-hundreds of MB of host->device
+    # transfer for a per-frame scalar
     if n > 1:
-        sc = np.asarray(scene_scores(
-            jax.numpy.asarray(clip.y.astype(np.int32) >> (bd - 8))))
+        with clock("scene_detect"):
+            sc = np.asarray(scene_scores(
+                jax.numpy.asarray(clip.y[:, ::4, ::4])))
         segments = split_scenes(sc, threshold=scene_threshold,
                                 min_len=chunk, max_len=240)
     else:
@@ -112,28 +144,39 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                 _pad_plane(clip.u[i].astype(np.int32), ch // 2, cw // 2),
                 _pad_plane(clip.v[i].astype(np.int32), ch // 2, cw // 2))
 
-    def select_q(planes0, probe_psnr=False):
-        """Pick the scene qindex.  The intra probe at q is a conservative
-        proxy for the emitted stream: the keyframe is actually coded at
-        key_q <= q (better) and inter frames at q, so delivered quality is
-        >= the probe score.  psnr_y in the stats is MEASURED from the
-        emitted frames' reconstruction (GOP mode), not probed."""
-        yj = jax.numpy.asarray(planes0[0])
-        uj = jax.numpy.asarray(planes0[1])
-        vj = jax.numpy.asarray(planes0[2])
+    def _probe_frames(s0, e0, full: bool):
+        """Sampled probe frames of a scene: first, middle and last when a
+        CQ search needs the scene's hardest frame (av1an probes across the
+        chunk); just the middle (most representative single sample) for
+        the fixed-q stats score."""
+        mid = (s0 + e0 - 1) // 2
+        idxs = sorted({s0, mid, e0 - 1}) if full else [mid]
+        return [tuple(jax.numpy.asarray(p) for p in padded(i))
+                for i in idxs]
+
+    def select_q(seg, probe_psnr=False):
+        """Pick the scene qindex from multi-frame probes.  The intra probe
+        at q is a conservative proxy for the emitted stream: the keyframe
+        is actually coded at key_q <= q (better) and inter frames at q, so
+        delivered quality is >= the probe score.  psnr_y in the stats is
+        MEASURED from the emitted frames' reconstruction (GOP mode), not
+        probed."""
+        with clock("probe"):
+            frames = _probe_frames(*seg, full=target_quality > 0)
         if target_quality > 0:
-            q, score = cq_search(yj, uj, vj, target_quality, metric=metric,
-                                 bit_depth=bd, partitions=partitions)
+            q, score = cq_search_multi(frames, target_quality,
+                                       metric=metric, bit_depth=bd,
+                                       partitions=partitions)
         else:
             q = qindex
-            score = float(probe_quality(yj, uj, vj, jax.numpy.int32(q),
+            score = probe_quality_multi(frames, jax.numpy.int32(q),
                                         metric=metric, bit_depth=bd,
-                                        partitions=partitions))
+                                        partitions=partitions)
         scores.append(score)
         if probe_psnr:
-            psnrs.append(float(probe_quality(yj, uj, vj, jax.numpy.int32(q),
+            psnrs.append(probe_quality_multi(frames, jax.numpy.int32(q),
                                              metric="psnr", bit_depth=bd,
-                                             partitions=partitions)))
+                                             partitions=partitions))
         return q
 
     ny_pad = ch * cw
@@ -149,12 +192,14 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
         mse = jax.numpy.maximum(jax.numpy.mean((r - s) ** 2), 1e-10)
         return 10.0 * jax.numpy.log10(255.0 * 255.0 / mse)
 
-    def pack_key(buf, q, kind, lf, cdf_out=None):
+    def pack_key(buf, q, kind, lf, cdf_out=None, cdef=None):
         """cdf_out: optional CDF carry blob the keyframe's end-of-frame
         state is saved into (signalled via disable_frame_end_update_cdf=0;
         following inter frames load it with primary_ref_frame=0, so
         entropy contexts adapt across the whole scene instead of
-        resetting per frame)."""
+        resetting per frame).  cdef: optional (pri_y, sec_y, pri_uv,
+        sec_uv) strengths signalled in the headers (the recon must already
+        be CDEF'd with the same values)."""
         if kind == "part":
             (count, bm, vals, m16, m32, sp,
              sp64) = split_compact_part(buf, ch, cw)
@@ -173,14 +218,95 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                                             else 1, cdf_out=cdf_out)
         return _wrap_tu(tile, cw, ch, width, height, q, bd,
                         lf=(lf[0], lf[0], lf[1], lf[2]),
-                        cdf_save=cdf_out is not None)
+                        cdf_save=cdf_out is not None, cdef=cdef)
 
     ncoef = ch * cw + 2 * (ch // 2) * (cw // 2)
 
-    if gop:
+    def pack_inter_tile(buf, q, cdfs_c, cdef_s):
+        """Split + pack one inter frame's compact buffer into a TU."""
+        if partitions:
+            (count, bm, vals, s32, s64,
+             mv) = split_compact_inter_part(buf, ch, cw)
+            if count > len(vals):
+                raise _CapacityExceeded(count)
+            tile = packer.pack_tile_inter_part(
+                bm, vals, s32, s64, mv, ch, cw, q,
+                cdf_in=cdfs_c, cdf_out=cdfs_c)
+        else:
+            count, bm, vals, mv = split_compact_inter(buf, ch, cw)
+            if count > len(vals):
+                raise _CapacityExceeded(count)
+            tile = packer.pack_tile_inter(
+                bm, vals, mv, ch, cw, q,
+                cdf_in=cdfs_c, cdf_out=cdfs_c)
+        ilf = lf_levels(q)
+        return _wrap_tu_inter(
+            tile, cw, ch, width, height, q, bd,
+            lf=(ilf[0], ilf[0], ilf[2], ilf[3]), primary_ref=0,
+            cdf_save=True, cdef=tuple(int(x) for x in cdef_s))
+
+    n_dev = jax.device_count()
+    if gop and workers > 1 and n_dev > 1 and len(segments) > 1:
+        # multi-device production path: scenes are independent, so the
+        # scene batch is sharded over the device mesh (the reference's
+        # av1an --workers axis, crates/daemon/src/encode/av1an.rs:100)
+        from av1tpu.parallel.gop import SceneBatchEncoder, scene_mesh
+
+        wdev = min(workers, n_dev)
+        mesh = scene_mesh(wdev)
+        scenes = []
+        for s0, e0 in segments:
+            q = select_q((s0, e0))
+            q_used.append(q)
+            key_q = max(q - key_q_boost, 1) if e0 - s0 > 1 else q
+            lyk, _, luk, lvk = lf_levels(key_q)
+            ly_i, _, lu_i, lv_i = lf_levels(q)
+            scenes.append({
+                "frames": np.stack([fuse_planes(*padded(i), bit_depth=bd)
+                                    for i in range(s0, e0)]),
+                "q": q, "key_q": key_q,
+                "key_lf": (lyk, luk, lvk),
+                "inter_lf": (ly_i, lu_i, lv_i),
+            })
+        key_kind = "wave" if partitions else "v"
+        done_frames = 0
+        for b0 in range(0, len(scenes), wdev):
+            batch = scenes[b0 : b0 + wdev]
+            enc = SceneBatchEncoder(batch, mesh, ch, cw, bit_depth=bd)
+            key_cap, cap = 163840, inter_cap
+            while True:
+                results = enc.encode(
+                    key_cap, cap, part=partitions,
+                    skip8_host_fn=lambda buf: skip8_host(
+                        split_compact(buf, ch, cw)[1], ch, cw))
+                try:
+                    batch_tus = []
+                    for sc, res in zip(batch, results):
+                        cdfs = packer.new_cdf_blob()
+                        cdef_t = tuple(int(x) for x in res["cdef_s"])
+                        tus = [pack_key(res["key_buf"], sc["key_q"],
+                                        key_kind, sc["key_lf"],
+                                        cdf_out=cdfs, cdef=cdef_t)]
+                        for buf in res["inter_bufs"]:
+                            tus.append(pack_inter_tile(
+                                buf, sc["q"], cdfs, res["cdef_s"]))
+                        batch_tus.append(tus)
+                    break
+                except _CapacityExceeded as e:
+                    key_cap = min(max(key_cap * 2, e.count), ncoef)
+                    cap = min(max(cap * 2, e.count), ncoef)
+            for sc, res, tus in zip(batch, results, batch_tus):
+                streams.extend(tus)
+                psnrs.append(float(_recon_psnr(
+                    jax.numpy.asarray(res["ref"]),
+                    jax.numpy.asarray(sc["frames"][-1]))))
+                done_frames += sc["frames"].shape[0]
+                if progress:
+                    progress(done_frames, n)
+    elif gop:
         for s0, e0 in segments:
             planes0 = padded(s0)
-            q = select_q(planes0)
+            q = select_q((s0, e0))
             q_used.append(q)
             # keyframe quality boost: the keyframe is every following
             # frame's (transitive) reference, so its distortion propagates
@@ -200,39 +326,63 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                       else encode_intra_v_key_recon)
             key_kind = "wave" if partitions else "v"
             key_cap = 163840
-            fused0_dev = jax.device_put(fused0)
+            with clock("upload"):
+                fused0_dev = jax.device_put(fused0)
             # CDF carry chain: keyframe saves its end-of-frame CDFs, every
             # inter frame in the scene loads the previous frame's and saves
             # its own (primary_ref_frame = LAST)
             cdfs = packer.new_cdf_blob()
             while True:  # low-q keyframes can exceed the value capacity:
-                buf, ref = key_fn(fused0_dev, key_q, ch, cw,
-                                  cap=key_cap, lf=key_lf)
+                with clock("key_device"):
+                    buf, ref = key_fn(fused0_dev, key_q, ch, cw,
+                                      cap=key_cap, lf=key_lf)
+                    buf_np = np.asarray(buf)
+                # per-scene CDEF strength search on the keyframe: skip
+                # gating from the coded significance bitmap, preset with
+                # least distortion wins, recon becomes the CDEF'd frame
+                # (deblock -> CDEF, the decoder's in-loop order)
+                with clock("cdef"):
+                    _, key_bm, _, _ = split_compact(buf_np, ch, cw)
+                    skip8 = jax.numpy.asarray(skip8_host(key_bm, ch, cw))
+                    cdef_s = select_strengths(ref, fused0_dev, skip8, ch,
+                                              cw, bit_depth=bd)
+                    cdef_j = jax.numpy.asarray(cdef_s)
+                    ref = cdef_fused(ref, skip8, cdef_j, ch, cw,
+                                     bit_depth=bd)
                 try:
-                    streams.append(pack_key(np.asarray(buf), key_q,
-                                            key_kind, key_lf,
-                                            cdf_out=cdfs))
+                    with clock("pack_key"):
+                        streams.append(pack_key(buf_np, key_q,
+                                                key_kind, key_lf,
+                                                cdf_out=cdfs,
+                                                cdef=tuple(int(x)
+                                                           for x in cdef_s)))
                     break
                 except _CapacityExceeded as e:  # retry, doubled transport
                     key_cap = min(max(key_cap * 2, e.count), ncoef)
-            psnrs.append(float(_recon_psnr(ref, fused0_dev)))
+            with clock("psnr"):
+                psnrs.append(float(_recon_psnr(ref, fused0_dev)))
             if progress:
                 progress(s0 + 1, n)
             cap = inter_cap
             for base in range(s0 + 1, e0, chunk):
                 k = min(chunk, e0 - base)
-                fused = np.stack([
-                    fuse_planes(*padded(base + i), bit_depth=bd)
-                    for i in range(k)])
-                if k < chunk:  # keep one compiled shape; the tail's carry
-                    fused = np.concatenate(  # feeds only the next keyframe
-                        [fused, np.repeat(fused[-1:], chunk - k, axis=0)])
+                with clock("host_prep"):
+                    fused = np.stack([
+                        fuse_planes(*padded(base + i), bit_depth=bd)
+                        for i in range(k)])
+                    if k < chunk:  # keep one compiled shape; the tail's
+                        fused = np.concatenate(  # carry feeds only the
+                            [fused,              # next keyframe
+                             np.repeat(fused[-1:], chunk - k, axis=0)])
                 ref_in = ref
                 gop_fn = (encode_gop_chunk_part if partitions
                           else encode_gop_chunk)
                 while True:
-                    bufs, ref = gop_fn(jax.device_put(fused), ref_in, q,
-                                       ch, cw, cap=cap, lf=inter_lf)
+                    with clock("inter_dispatch"):
+                        fused_dev = jax.device_put(fused)
+                        bufs, ref = gop_fn(fused_dev, ref_in,
+                                           q, ch, cw, cap=cap, lf=inter_lf,
+                                           cdef_s=cdef_j)
                     tus = []
                     # chunk-local CDF chain: committed to `cdfs` only when
                     # the whole chunk packs (capacity retry restarts from
@@ -242,7 +392,8 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                         for i in range(k):
                             # per-frame fetch: frame i's transfer + host
                             # pack overlap frames i+1..'s TPU compute
-                            buf = np.asarray(bufs[i])
+                            with clock("inter_fetch"):
+                                buf = np.asarray(bufs[i])
                             if partitions:
                                 (count, bm, vals, s32, s64,
                                  mv) = split_compact_inter_part(buf, ch, cw)
@@ -263,7 +414,8 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                                 tile, cw, ch, width, height, q, bd,
                                 lf=(inter_lf[0], inter_lf[0], inter_lf[1],
                                     inter_lf[2]), primary_ref=0,
-                                cdf_save=True))
+                                cdf_save=True,
+                                cdef=tuple(int(x) for x in cdef_s)))
                         break
                     except _CapacityExceeded as e:
                         cap = min(max(cap * 2, e.count), ncoef)
@@ -271,17 +423,20 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                 cdfs[:] = cdfs_c
                 streams.extend(tus)
                 if k == chunk:  # ref is the recon of the chunk's last
-                    psnrs.append(float(_recon_psnr(  # emitted frame
-                        ref, jax.numpy.asarray(fused[k - 1]))))
+                    with clock("psnr"):  # emitted frame vs the already-
+                        # resident chunk upload; kept as a device scalar so
+                        # the pipeline never syncs on a stats value
+                        psnrs.append(_recon_psnr(ref, fused_dev[k - 1]))
                 if progress:
                     progress(base + k, n)
     else:
-        plan: list[tuple[int, int, bool]] = []  # (base, k, is_scene_start)
+        plan: list[tuple[int, int, tuple | None]] = []  # (base, k, scene)
         for s0, e0 in segments:
             for base in range(s0, e0, chunk):
-                plan.append((base, min(chunk, e0 - base), base == s0))
+                plan.append((base, min(chunk, e0 - base),
+                             (s0, e0) if base == s0 else None))
 
-        for base, k, scene_start in plan:
+        for base, k, scene_seg in plan:
             planes = [padded(base + i) for i in range(k)]
             fused = np.stack([fuse_planes(*p, bit_depth=bd)
                               for p in planes])
@@ -289,8 +444,9 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                 fused = np.concatenate(
                     [fused, np.repeat(fused[-1:], chunk - k, axis=0)])
 
-            if scene_start or not q_used:
-                q = select_q(planes[0], probe_psnr=True)
+            if scene_seg or not q_used:
+                q = select_q(scene_seg or (base, base + k),
+                             probe_psnr=True)
             q_used.append(q)
 
             chunk_fn = (encode_intra_part_chunk if partitions
@@ -311,6 +467,7 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             if progress:
                 progress(base + k, n)
 
+    psnrs = [float(p) for p in psnrs]  # sync deferred stats scalars
     dt = time.perf_counter() - t0
     stats = {
         "frames": n,
@@ -325,13 +482,24 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
         "psnr_y": round(sum(psnrs) / len(psnrs), 3),
         metric if metric != "psnr" else "metric_score":
             round(sum(scores) / len(scores), 3),
+        "stage_seconds": {k: round(v, 3)
+                          for k, v in sorted(clock.acc.items())},
     }
     return streams, stats
 
 
+def _cdef_cfg_kw(cdef):
+    """EncoderConfig kwargs for a coded strength tuple (None = disabled)."""
+    if cdef is None:
+        return {}
+    return {"enable_cdef": 1, "cdef_y_pri": cdef[0], "cdef_y_sec": cdef[1],
+            "cdef_uv_pri": cdef[2], "cdef_uv_sec": cdef[3]}
+
+
 def _wrap_tu(tile: bytes, coded_w: int, coded_h: int, render_w: int,
              render_h: int, qindex: int, bit_depth: int = 8,
-             lf=(0, 0, 0, 0), cdf_save: bool = False) -> bytes:
+             lf=(0, 0, 0, 0), cdf_save: bool = False,
+             cdef=None) -> bytes:
     from av1tpu.spec.bits import BitWriter
     from av1tpu.spec.encode_frame import (
         EncoderConfig, make_frame_header, make_sequence_header,
@@ -344,7 +512,7 @@ def _wrap_tu(tile: bytes, coded_w: int, coded_h: int, render_w: int,
     )
 
     cfg = EncoderConfig(base_q_idx=qindex, bit_depth=bit_depth,
-                        loop_filter_level=tuple(lf))
+                        loop_filter_level=tuple(lf), **_cdef_cfg_kw(cdef))
     seq = make_sequence_header(coded_w, coded_h, cfg)
     fh = make_frame_header(seq, cfg)
     if cdf_save:  # decoder saves end-of-frame CDFs into the ref slots
@@ -361,7 +529,7 @@ def _wrap_tu(tile: bytes, coded_w: int, coded_h: int, render_w: int,
 def _wrap_tu_inter(tile: bytes, coded_w: int, coded_h: int, render_w: int,
                    render_h: int, qindex: int, bit_depth: int = 8,
                    lf=(0, 0, 0, 0), primary_ref: int | None = None,
-                   cdf_save: bool = False) -> bytes:
+                   cdf_save: bool = False, cdef=None) -> bytes:
     from av1tpu.spec.bits import BitWriter
     from av1tpu.spec.encode_frame import (
         EncoderConfig, make_frame_header_inter, make_sequence_header,
@@ -370,7 +538,7 @@ def _wrap_tu_inter(tile: bytes, coded_w: int, coded_h: int, render_w: int,
     from av1tpu.spec.obu import OBU_FRAME, build_obu, temporal_delimiter
 
     cfg = EncoderConfig(base_q_idx=qindex, bit_depth=bit_depth,
-                        loop_filter_level=tuple(lf))
+                        loop_filter_level=tuple(lf), **_cdef_cfg_kw(cdef))
     seq = make_sequence_header(coded_w, coded_h, cfg)
     fh = make_frame_header_inter(seq, cfg)
     if primary_ref is not None:  # CDFs carried from LAST's saved state

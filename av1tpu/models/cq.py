@@ -43,29 +43,53 @@ def probe_quality(y, u, v, qindex, metric: str = "tpu_vmaf",
     return METRICS[metric](y >> sh, out["recon_y"] >> sh)
 
 
+def probe_quality_multi(frames, qindex, metric: str = "tpu_vmaf",
+                        bit_depth: int = 8,
+                        partitions: bool = False) -> float:
+    """Worst (minimum) probe score over several sampled frames — a scene's
+    q must hold on its hardest sampled frame, not just the first (av1an
+    probes across the chunk).  frames: list of (y, u, v) plane tuples.
+    Each call reuses the single compiled probe executable."""
+    return min(
+        float(probe_quality(y, u, v, qindex, metric=metric,
+                            bit_depth=bit_depth, partitions=partitions))
+        for (y, u, v) in frames)
+
+
+def cq_search_multi(frames, target: float, metric: str = "tpu_vmaf",
+                    qmin: int = 8, qmax: int = 255, log=None,
+                    bit_depth: int = 8,
+                    partitions: bool = False) -> tuple[int, float]:
+    """cq_search scored by the min over sampled frames (see
+    probe_quality_multi)."""
+    lo, hi = qmin, qmax
+    best_q, best_score = qmin, None
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        score = probe_quality_multi(frames, jnp.int32(mid), metric=metric,
+                                    bit_depth=bit_depth,
+                                    partitions=partitions)
+        if log:
+            log(f"cq probe q={mid} {metric}={score:.3f}")
+        if score >= target:
+            best_q, best_score = mid, score
+            lo = mid + 1
+        else:
+            hi = mid - 1
+    if best_score is None:
+        best_score = probe_quality_multi(
+            frames, jnp.int32(qmin), metric=metric, bit_depth=bit_depth,
+            partitions=partitions)
+        best_q = qmin
+    return best_q, best_score
+
+
 def cq_search(y, u, v, target: float, metric: str = "tpu_vmaf",
               qmin: int = 8, qmax: int = 255, log=None,
               bit_depth: int = 8,
               partitions: bool = False) -> tuple[int, float]:
     """Smallest-bitrate (largest) qindex whose score >= target; if even qmin
     misses the target, returns qmin.  Returns (qindex, achieved_score)."""
-    lo, hi = qmin, qmax  # score(lo) is the best achievable
-    best_q, best_score = qmin, None
-    while lo <= hi:
-        mid = (lo + hi) // 2
-        score = float(probe_quality(y, u, v, jnp.int32(mid), metric=metric,
-                                    bit_depth=bit_depth,
-                                    partitions=partitions))
-        if log:
-            log(f"cq probe q={mid} {metric}={score:.3f}")
-        if score >= target:
-            best_q, best_score = mid, score
-            lo = mid + 1   # try coarser quantization
-        else:
-            hi = mid - 1
-    if best_score is None:
-        best_score = float(
-            probe_quality(y, u, v, jnp.int32(qmin), metric=metric,
-                          bit_depth=bit_depth, partitions=partitions))
-        best_q = qmin
-    return best_q, best_score
+    return cq_search_multi([(y, u, v)], target, metric=metric, qmin=qmin,
+                           qmax=qmax, log=log, bit_depth=bit_depth,
+                           partitions=partitions)

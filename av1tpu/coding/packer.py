@@ -40,7 +40,7 @@ class Packer:
         fp = self._lib.pack_tile_inter_part
         fp.restype = ctypes.c_size_t
         fp.argtypes = [ctypes.POINTER(ctypes.c_uint16)] + \
-                      [ctypes.POINTER(ctypes.c_int16)] * 5 + \
+                      [ctypes.POINTER(ctypes.c_int16)] * 6 + \
                       [ctypes.c_int] * 4 + \
                       [ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
                        _I32P, _I32P]
@@ -48,7 +48,7 @@ class Packer:
         fi = self._lib.pack_tile_inter
         fi.restype = ctypes.c_size_t
         fi.argtypes = [ctypes.POINTER(ctypes.c_uint16)] + \
-                      [ctypes.POINTER(ctypes.c_int16)] * 3 + \
+                      [ctypes.POINTER(ctypes.c_int16)] * 4 + \
                       [ctypes.c_int] * 4 + \
                       [ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
                        _I32P, _I32P]
@@ -148,21 +148,29 @@ class Packer:
                         qindex: int,
                         disable_cdf_update: bool = False,
                         cdf_in: np.ndarray | None = None,
-                        cdf_out: np.ndarray | None = None) -> bytes:
+                        cdf_out: np.ndarray | None = None,
+                        refs: np.ndarray | None = None) -> bytes:
         """Pack one inter tile from the compact form produced by
         encode_inter_v/_compact: significance bitmap + nonzero values +
-        per-16x16-block MV grid (r16, c16, 2) int 1/8-pel."""
+        per-16x16-block MV grid (r16, c16, 2) int 1/8-pel.  refs:
+        optional per-16-block reference grid (0=LAST, 1=GOLDEN; None =
+        the single-ref LAST chain)."""
         i16p = ctypes.POINTER(ctypes.c_int16)
         bm = np.ascontiguousarray(bitmap, np.uint16)
         vv = np.ascontiguousarray(vals, np.int16)
         mv = np.asarray(mv)
         mvr = np.ascontiguousarray(mv[..., 0].reshape(-1), np.int16)
         mvc = np.ascontiguousarray(mv[..., 1].reshape(-1), np.int16)
+        rfp = None
+        if refs is not None:
+            rf = np.ascontiguousarray(np.asarray(refs).reshape(-1),
+                                      np.int16)
+            rfp = rf.ctypes.data_as(i16p)
         cap = height * width * 8 + 65536
         out = (ctypes.c_uint8 * cap)()
         n = self._fni(bm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
                       vv.ctypes.data_as(i16p), mvr.ctypes.data_as(i16p),
-                      mvc.ctypes.data_as(i16p),
+                      mvc.ctypes.data_as(i16p), rfp,
                       height // 4, width // 4, qindex,
                       int(disable_cdf_update), out, cap,
                       *self._cdf_ptrs(cdf_in, cdf_out))
@@ -176,9 +184,12 @@ class Packer:
                              qindex: int,
                              disable_cdf_update: bool = False,
                              cdf_in: np.ndarray | None = None,
-                             cdf_out: np.ndarray | None = None) -> bytes:
+                             cdf_out: np.ndarray | None = None,
+                             refs: np.ndarray | None = None) -> bytes:
         """Pack one partitioned inter tile (union-layout compact form from
-        encode_inter_part/_gop_step_part + split maps + MV grid)."""
+        encode_inter_part/_gop_step_part + split maps + MV grid).  refs:
+        optional per-16-block reference grid (0=LAST, 1=GOLDEN; merged
+        blocks take their top-left entry)."""
         i16p = ctypes.POINTER(ctypes.c_int16)
         bm = np.ascontiguousarray(bitmap, np.uint16)
         vv = np.ascontiguousarray(vals, np.int16)
@@ -189,12 +200,17 @@ class Packer:
         mv = np.asarray(mv)
         mvr = np.ascontiguousarray(mv[..., 0].reshape(-1), np.int16)
         mvc = np.ascontiguousarray(mv[..., 1].reshape(-1), np.int16)
+        rfp = None
+        if refs is not None:
+            rf = np.ascontiguousarray(np.asarray(refs).reshape(-1),
+                                      np.int16)
+            rfp = rf.ctypes.data_as(i16p)
         cap = height * width * 8 + 65536
         out = (ctypes.c_uint8 * cap)()
         n = self._fnp(bm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
                       vv.ctypes.data_as(i16p), s32.ctypes.data_as(i16p),
                       s64.ctypes.data_as(i16p), mvr.ctypes.data_as(i16p),
-                      mvc.ctypes.data_as(i16p),
+                      mvc.ctypes.data_as(i16p), rfp,
                       height // 4, width // 4, qindex,
                       int(disable_cdf_update), out, cap,
                       *self._cdf_ptrs(cdf_in, cdf_out))

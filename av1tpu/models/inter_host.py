@@ -18,9 +18,10 @@ import numpy as np
 
 from av1tpu.spec import tables
 from av1tpu.spec.enums import (
-    DC_PRED, GLOBALMV, NEARESTMV, NEARMV, NEWMV, PARTITION_NONE,
-    PARTITION_SPLIT,
+    DC_PRED, GLOBALMV, GOLDEN_FRAME, LAST_FRAME, NEARESTMV, NEARMV, NEWMV,
+    PARTITION_NONE, PARTITION_SPLIT,
 )
+from av1tpu.spec.mv import find_mv_stack
 from av1tpu.spec.tile import FixedPartitionPlanner, Planner
 
 
@@ -36,6 +37,19 @@ def _cheapest_inter_mode(stack, mv):
     return NEWMV, 0
 
 
+def _replay_ref(planner_o, tc, r, c, bsize, stack, mv):
+    """Shared replay helper: resolve the block's reference from an
+    optional per-16-block ref map ("ref_map", values LAST_FRAME /
+    GOLDEN_FRAME), recompute the MV stack for a non-LAST ref, and pick
+    the cheapest signaling mode for `mv`."""
+    refmap = planner_o.get("ref_map")
+    ref = LAST_FRAME if refmap is None else int(refmap[r // 4, c // 4])
+    if ref != LAST_FRAME:
+        stack = find_mv_stack(tc, r, c, bsize, ref)
+    mode, idx = _cheapest_inter_mode(stack, mv)
+    return ref, stack, mode, idx
+
+
 class InterReplayPlanner(FixedPartitionPlanner):
     """Feeds precomputed TPU inter decisions (models/inter_v.py) through the
     spec engine: per-16x16 MV grid + level grids.  The signaling mode is
@@ -43,16 +57,21 @@ class InterReplayPlanner(FixedPartitionPlanner):
     the (sequentially known) MV prediction stack."""
 
     def __init__(self, mv_grid: np.ndarray, levels_y: np.ndarray,
-                 levels_u: np.ndarray, levels_v: np.ndarray):
+                 levels_u: np.ndarray, levels_v: np.ndarray,
+                 ref_map: np.ndarray | None = None):
         super().__init__(leaf_bsize=6)
         self.mv_grid = np.asarray(mv_grid)
         self.grids = (np.asarray(levels_y), np.asarray(levels_u),
                       np.asarray(levels_v))
+        self.o = {}
+        if ref_map is not None:
+            self.o["ref_map"] = np.asarray(ref_map)
 
     def inter_block(self, tc, r, c, bsize, stack):
         mv = tuple(int(x) for x in self.mv_grid[r // 4, c // 4])
-        mode, idx = _cheapest_inter_mode(stack, mv)
-        return {"is_inter": True, "mode": mode, "mv": mv,
+        ref, stack, mode, idx = _replay_ref(self.o, tc, r, c, bsize,
+                                            stack, mv)
+        return {"is_inter": True, "mode": mode, "mv": mv, "ref": ref,
                 "ref_mv_idx": idx, "stack": stack}
 
     def quantize(self, tc, coefs_f, plane, tx, dc_q, ac_q, shift, x=0, y=0):
@@ -79,8 +98,9 @@ class InterPartReplayPlanner(Planner):
 
     def inter_block(self, tc, r, c, bsize, stack):
         mv = tuple(int(x) for x in self.o["mv"][r // 4, c // 4])
-        mode, idx = _cheapest_inter_mode(stack, mv)
-        return {"is_inter": True, "mode": mode, "mv": mv,
+        ref, stack, mode, idx = _replay_ref(self.o, tc, r, c, bsize,
+                                            stack, mv)
+        return {"is_inter": True, "mode": mode, "mv": mv, "ref": ref,
                 "ref_mv_idx": idx, "stack": stack}
 
     def quantize(self, tc, coefs_f, plane, tx, dc_q, ac_q, shift, x=0, y=0):
@@ -182,7 +202,8 @@ class InterRdoPlanner(Planner):
         from av1tpu.spec.enums import BLOCK_H, BLOCK_W
         h, w = BLOCK_H[bsize], BLOCK_W[bsize]
         src = tc.source[0][y0 : y0 + h, x0 : x0 + w]
-        ref = np.asarray(tc.ref_planes[0])
+        from av1tpu.spec.enums import LAST_FRAME
+        ref = np.asarray(tc.ref_planes[LAST_FRAME][0])
 
         # candidate centers: zero MV + stack predictions (even fullpel)
         centers = {(0, 0)}

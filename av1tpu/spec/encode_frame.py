@@ -159,14 +159,19 @@ def encode_keyframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
 
 
 def make_frame_header_inter(seq: SequenceHeader,
-                            cfg: EncoderConfig) -> FrameHeader:
+                            cfg: EncoderConfig,
+                            golden: bool = False) -> FrameHeader:
     """Inter frame header at this encoder's operating point: LAST = slot 0
     (the previous frame), refresh slot 0, CDFs reset per frame
-    (PRIMARY_REF_NONE), reduced tx set (inter tx-type set 3)."""
+    (PRIMARY_REF_NONE), reduced tx set (inter tx-type set 3).  golden:
+    also map GOLDEN to slot 1 — the scene keyframe, which refreshes every
+    slot (0xFF) and stays in slot 1 because inter frames only refresh
+    slot 0."""
     fh = make_frame_header(seq, cfg)
     fh.frame_type = INTER_FRAME
     fh.refresh_frame_flags = 0x01
-    fh.ref_frame_idx = (0, 0, 0, 0, 0, 0, 0)
+    fh.ref_frame_idx = ((0, 0, 0, 1, 0, 0, 0) if golden
+                        else (0, 0, 0, 0, 0, 0, 0))
     fh.reduced_tx_set = 1
     return fh
 
@@ -175,17 +180,25 @@ def encode_interframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                       ref_recon: list, cfg: EncoderConfig,
                       planner: Planner | None = None,
                       prev_cdfs=None,
-                      out_cdfs: list | None = None) -> tuple[bytes, list]:
+                      out_cdfs: list | None = None,
+                      golden_recon: list | None = None
+                      ) -> tuple[bytes, list]:
     """Encode one INTER frame against ref_recon (the previous frame's recon
     planes, mi-grid padded).  Returns (obu_bytes_for_one_TU, recon).
 
     prev_cdfs: the previous frame's end-of-frame CDF snapshot — sets
     primary_ref_frame = 0 (LAST) so entropy contexts carry across the GOP
     instead of resetting to defaults.  out_cdfs: optional list this frame's
-    end snapshot is appended to (chains to the next frame)."""
+    end snapshot is appended to (chains to the next frame).
+
+    golden_recon: optional second reference (the scene keyframe's recon,
+    slot 1) — blocks may then code ref=GOLDEN_FRAME (planner decides),
+    the two-reference structure that counters drift accumulation down the
+    LAST chain (the reference anchor's lookahead/alt-ref analog,
+    reference crates/daemon/src/encode/av1an.rs:14 --lookahead 40)."""
     height, width = y.shape
     seq = make_sequence_header(width, height, cfg)
-    fh = make_frame_header_inter(seq, cfg)
+    fh = make_frame_header_inter(seq, cfg, golden=golden_recon is not None)
     if prev_cdfs is not None:
         fh.primary_ref_frame = 0
     if out_cdfs is not None:
@@ -205,9 +218,14 @@ def encode_interframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     if prev_cdfs is not None:
         cdfs = CdfState(fh.base_q_idx)
         load_cdfs(cdfs, prev_cdfs)
+    refs = ref_recon
+    if golden_recon is not None:
+        from .enums import GOLDEN_FRAME, LAST_FRAME
+
+        refs = {LAST_FRAME: ref_recon, GOLDEN_FRAME: golden_recon}
     coder = EncCoder(disable_cdf_update=bool(fh.disable_cdf_update))
     tc = TileCoder(seq, fh, coder, recon, source=src, planner=planner,
-                   ref_planes=ref_recon, cdfs=cdfs)
+                   ref_planes=refs, cdfs=cdfs)
     tc.code_tile()
     if out_cdfs is not None:
         out_cdfs.append(snapshot_cdfs(tc.cdfs))

@@ -22,7 +22,8 @@ import numpy as np
 from . import tables
 from .cdf_state import CdfState
 from .enums import (
-    BLOCK_8X8, BLOCK_H, BLOCK_W, DC_PRED, GLOBALMV, INTRA_MODE_CONTEXT,
+    BLOCK_8X8, BLOCK_H, BLOCK_W, DC_PRED, GLOBALMV, GOLDEN_FRAME,
+    INTRA_MODE_CONTEXT,
     LAST_FRAME, MAX_TX_SIZE_RECT, MI_H, MI_H_LOG2, MI_W, MI_W_LOG2,
     MODE_TO_TXFM, NEARESTMV, NEARMV, NEWMV,
     PARTITION_HORZ, PARTITION_NONE, PARTITION_SPLIT, PARTITION_VERT,
@@ -139,7 +140,11 @@ class TileCoder:
         self.source = source  # [y, u, v] source planes (encode mode)
         self.encoding = coder.mode == "encode"
         self.inter_frame = fh.frame_type == INTER_FRAME
-        self.ref_planes = ref_planes  # [y, u, v] recon of the LAST frame
+        # {ref_frame: [y, u, v]} recon planes; a bare [y, u, v] list means
+        # LAST only (the single-ref low-delay chain)
+        if ref_planes is not None and not isinstance(ref_planes, dict):
+            ref_planes = {LAST_FRAME: ref_planes}
+        self.ref_planes = ref_planes
         if self.inter_frame:
             assert ref_planes is not None, "inter tile needs a reference"
         # primary_ref_frame != NONE loads the referenced slot's saved CDFs
@@ -387,9 +392,11 @@ class TileCoder:
             counts[int(self.ref_frames[r, c - 1])] += 1
         return counts
 
-    def _code_single_ref(self, r, c):
-        """Single-reference coding tree; this encoder uses LAST only (the
-        decoder path rejects other refs for now)."""
+    def _code_single_ref(self, r, c, ref=None):
+        """Single-reference coding tree (spec read_ref_frames, single
+        mode): LAST and GOLDEN are codable; LAST2/LAST3 and the backward
+        refs stay out of this encoder's scope.  ref: the encoder's chosen
+        reference (decode: None, returns the parsed one)."""
         cnt = self._neighbor_ref_counts(r, c)
         enc = self.encoding
 
@@ -404,9 +411,15 @@ class TileCoder:
             raise NotImplementedError("backward reference frames")
         b3 = self.coder.sym(
             self.cdfs.single_ref[ctx3(cnt[1] + cnt[2], cnt[3] + cnt[4])][2],
-            0 if enc else None)
+            int(ref == GOLDEN_FRAME) if enc else None)
         if b3:
-            raise NotImplementedError("LAST3/GOLDEN reference")
+            # single_ref_p5: LAST3 (0) vs GOLDEN (1)
+            b5 = self.coder.sym(
+                self.cdfs.single_ref[ctx3(cnt[3], cnt[4])][4],
+                1 if enc else None)
+            if not b5:
+                raise NotImplementedError("LAST3 reference")
+            return GOLDEN_FRAME
         b4 = self.coder.sym(self.cdfs.single_ref[ctx3(cnt[1], cnt[2])][3],
                             0 if enc else None)
         if b4:
@@ -465,13 +478,19 @@ class TileCoder:
         mi_w, mi_h = MI_W[bsize], MI_H[bsize]
         has_chroma = self._has_chroma(r, c, bsize)
         self._cur_tx = MAX_TX_SIZE_RECT[bsize]
-        # the MV stack depends only on already-coded state, so encoder and
-        # decoder compute it at the same point
-        stack = find_mv_stack(self, r, c, bsize, LAST_FRAME)
+        ref = LAST_FRAME
 
         if self.encoding:
+            # the MV stack depends only on already-coded state, so encoder
+            # and decoder compute it at the same point; the planner gets
+            # the LAST stack (choosing ref=GOLDEN means it computed the
+            # GOLDEN stack itself via find_mv_stack)
+            stack = find_mv_stack(self, r, c, bsize, LAST_FRAME)
             dec = self.planner.inter_block(self, r, c, bsize, stack)
             is_inter = dec["is_inter"]
+            ref = dec.get("ref", LAST_FRAME) if is_inter else LAST_FRAME
+            if is_inter and ref != LAST_FRAME:
+                stack = find_mv_stack(self, r, c, bsize, ref)
             mode = dec.get("mode", GLOBALMV)
             mv = dec.get("mv", (0, 0))
             ref_mv_idx = dec.get("ref_mv_idx", 0)
@@ -479,7 +498,7 @@ class TileCoder:
             uv_mode = dec.get("uv_mode", DC_PRED)
             planned = self._plan_residuals(
                 r, c, bsize, y_mode, uv_mode, has_chroma,
-                is_inter=is_inter, mv=mv)
+                is_inter=is_inter, mv=mv, ref=ref)
             skip = int(all(t is None or t["eob"] == 0 for t in planned))
             self.coder.sym(self._skip_cdf(r, c), skip)
         else:
@@ -493,8 +512,11 @@ class TileCoder:
             is_inter = bool(self.coder.sym(self.cdfs.intra_inter[ii_ctx]))
 
         if is_inter:
-            self._code_single_ref(r, c)
-            if not self.encoding:
+            if self.encoding:
+                self._code_single_ref(r, c, ref)
+            else:
+                ref = self._code_single_ref(r, c)
+                stack = find_mv_stack(self, r, c, bsize, ref)
                 mode = None
                 ref_mv_idx = 0
             mode = self._code_inter_mode(stack, mode)
@@ -548,7 +570,7 @@ class TileCoder:
         self.blk_c0[r : r + mi_h, c : c + mi_w] = c
         self.is_inters[r : r + mi_h, c : c + mi_w] = int(is_inter)
         self.ref_frames[r : r + mi_h, c : c + mi_w] = (
-            LAST_FRAME if is_inter else 0)
+            ref if is_inter else 0)
         self.mvs[r : r + mi_h, c : c + mi_w] = mv
         self.has_newmvs[r : r + mi_h, c : c + mi_w] = int(mode == NEWMV)
 
@@ -561,7 +583,7 @@ class TileCoder:
             self.left_tx_h[r : r + mi_h] = TX_H[self._cur_tx]
 
         self._residual(r, c, bsize, y_mode, uv_mode, skip, has_chroma,
-                       planned, is_inter=is_inter, mv=mv)
+                       planned, is_inter=is_inter, mv=mv, ref=ref)
 
     # ------------------------------------------------------------------
     # key/intra-only frame block syntax
@@ -725,14 +747,14 @@ class TileCoder:
         return predict_intra(mode, above, left, corner, w, h,
                              have_above, have_left, self.bd)
 
-    def _predict_inter(self, plane, x, y, tx, mv):
-        """Motion compensation from the LAST reference (spec 7.11.3
+    def _predict_inter(self, plane, x, y, tx, mv, ref_frame=LAST_FRAME):
+        """Motion compensation from the chosen reference (spec 7.11.3
         block_inter_predict, translation-only): separable 8-tap sub-pel
         interpolation (EIGHTTAP regular, the filter the headers signal)
         with the normative two-stage rounding; reads are clamped to the
         frame bounds exactly as the normative predictor."""
         sub = 1 if plane else 0
-        ref = self.ref_planes[plane]
+        ref = self.ref_planes[ref_frame][plane]
         w, h = TX_W[tx], TX_H[tx]
         # plane-resolution sub-pel position: luma mv is 1/8-pel (even
         # 1/16ths); chroma samples are half-res, so the same vector has
@@ -765,7 +787,7 @@ class TileCoder:
         return np.clip(out, 0, self.pix_max)
 
     def _plan_residuals(self, r, c, bsize, y_mode, uv_mode, has_chroma,
-                        is_inter=False, mv=(0, 0)):
+                        is_inter=False, mv=(0, 0), ref=LAST_FRAME):
         """Encoder pre-pass: predict, transform, quantize and reconstruct
         every txb of the block (recon is written so later txbs see correct
         edges).  Emission afterwards only codes symbols + contexts."""
@@ -773,7 +795,7 @@ class TileCoder:
         for plane, x, y, tx in self._txb_iter(r, c, bsize, has_chroma):
             mode = y_mode if plane == 0 else uv_mode
             if is_inter:
-                pred = self._predict_inter(plane, x, y, tx, mv)
+                pred = self._predict_inter(plane, x, y, tx, mv, ref)
             else:
                 pred = self._predict(plane, x, y, tx, mode)
             w, h = TX_W[tx], TX_H[tx]
@@ -831,7 +853,7 @@ class TileCoder:
         return dq
 
     def _residual(self, r, c, bsize, y_mode, uv_mode, skip, has_chroma,
-                  planned, is_inter=False, mv=(0, 0)):
+                  planned, is_inter=False, mv=(0, 0), ref=LAST_FRAME):
         idx = 0
         for plane, x, y, tx in self._txb_iter(r, c, bsize, has_chroma):
             mode = y_mode if plane == 0 else uv_mode
@@ -847,7 +869,7 @@ class TileCoder:
                                       txb["eob"], is_inter=is_inter)
             else:
                 if is_inter:
-                    pred = self._predict_inter(plane, x, y, tx, mv)
+                    pred = self._predict_inter(plane, x, y, tx, mv, ref)
                 else:
                     pred = self._predict(plane, x, y, tx, mode)
                 w, h = TX_W[tx], TX_H[tx]

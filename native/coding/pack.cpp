@@ -256,6 +256,10 @@ struct Tile {
     std::vector<int8_t> mi_newmv;            // per mi unit
     std::vector<int8_t> mi_coded;            // per mi unit (inter coded)
     std::vector<int8_t> mi_n4;               // per mi unit: block mi width
+    std::vector<int8_t> mi_ref;              // per mi unit: 1=LAST 4=GOLDEN
+    // optional per-16-block reference grid (0=LAST, 1=GOLDEN); null means
+    // the single-ref LAST chain (av1tpu/spec/tile.py _code_single_ref)
+    const int16_t *ref_grid = nullptr;
 
     void init_inter() {
         for (int i = 0; i < 4; i++)
@@ -285,6 +289,7 @@ struct Tile {
         mi_newmv.assign((size_t)mi_rows * mi_cols, 0);
         mi_coded.assign((size_t)mi_rows * mi_cols, 0);
         mi_n4.assign((size_t)mi_rows * mi_cols, 4);
+        mi_ref.assign((size_t)mi_rows * mi_cols, 1);
     }
 
     int part_ctx(int r, int c, int bsl) {
@@ -849,11 +854,12 @@ struct MvStack {
     int num_found = 0;    // == len (global padding does not count)
     int new_mv_ctx = 0, ref_mv_ctx = 0, zero_mv_ctx = 0;
     int new_mv_count = 0;
+    int ref = 1;          // candidates must match this reference
     bool found_match = false;
 
     void add(Tile &T, int mr, int mc, int weight) {
         size_t i = (size_t)mr * T.mi_cols + mc;
-        if (!T.mi_coded[i]) return;
+        if (!T.mi_coded[i] || T.mi_ref[i] != ref) return;
         int cr = T.mi_mv_r[i], cc = T.mi_mv_c[i];
         int idx = -1;
         for (int k = 0; k < len; k++)
@@ -867,6 +873,9 @@ struct MvStack {
     }
 
     void add_extra(Tile &T, int mr, int mc) {
+        // extra single-ref fill takes candidates regardless of ref frame
+        // (spec add_extra_mv_candidate, single prediction; engine
+        // _add_extra_candidate)
         size_t i = (size_t)mr * T.mi_cols + mc;
         if (!T.mi_coded[i]) return;
         if (len >= 2) return;
@@ -889,7 +898,9 @@ static int drl_ctx_of(const MvStack &st, int idx) {
 // General square-block MV stack over mixed 16/32/64 inter neighbors
 // (av1tpu/spec/mv.py MvStackBuilder; bw4 == bh4 in {4, 8, 16}, r/c are
 // multiples of bw4 so the odd-mi adjustment terms vanish)
-static void build_mv_stack(Tile &T, int r, int c, int bw4, MvStack &st) {
+static void build_mv_stack(Tile &T, int r, int c, int bw4, MvStack &st,
+                           int ref = 1) {
+    st.ref = ref;
     const int bh4 = bw4;
     bool has_above = r > 0, has_left = c > 0;
     int max_row_offset = 0, max_col_offset = 0;
@@ -1139,9 +1150,12 @@ static void code_block_inter_common(Tile &T, const int16_t *mv_rows,
     size_t b = (size_t)(r / 4) * bcols16 + (c / 4);
     int mvv[2] = {mv_rows[b], mv_cols[b]};
     int mi = n / 4;
+    // block reference: per-16-block grid (merged 32/64 blocks take their
+    // top-left entry; the merge RDO only merges equal-ref blocks)
+    int refv = (T.ref_grid && T.ref_grid[b]) ? 4 : 1;   // LAST=1 GOLDEN=4
 
     MvStack st;
-    build_mv_stack(T, r, c, mi, st);
+    build_mv_stack(T, r, c, mi, st, refv);
 
     // cheapest signaling for this MV against the stack
     // (av1tpu/models/inter_host.py _cheapest_inter_mode)
@@ -1160,12 +1174,26 @@ static void code_block_inter_common(Tile &T, const int16_t *mv_rows,
     // intra_inter: every neighbor is inter, so the ctx is always 0
     T.co.sym(T.intra_inter_c[0], 1);
 
-    // single-ref tree, all bits 0 (LAST); ctx from neighbor LAST counts
-    int cnt = (r > 0 ? 1 : 0) + (c > 0 ? 1 : 0);
-    int ctx_b1 = cnt == 0 ? 1 : 2;
-    T.co.sym(T.single_ref_c[ctx_b1][0], 0);
-    T.co.sym(T.single_ref_c[ctx_b1][2], 0);
-    T.co.sym(T.single_ref_c[ctx_b1][3], 0);
+    // single-ref tree (spec read_ref_frames / av1tpu/spec/tile.py
+    // _code_single_ref): LAST or GOLDEN, contexts from the above/left
+    // neighbors' references (every coded neighbor here is inter)
+    int cnt1 = 0, cnt4 = 0;
+    if (r > 0) {
+        size_t i = (size_t)(r - 1) * T.mi_cols + c;
+        if (T.mi_coded[i]) (T.mi_ref[i] == 4 ? cnt4 : cnt1)++;
+    }
+    if (c > 0) {
+        size_t i = (size_t)r * T.mi_cols + (c - 1);
+        if (T.mi_coded[i]) (T.mi_ref[i] == 4 ? cnt4 : cnt1)++;
+    }
+    auto ctx3 = [](int a, int bb) { return a == bb ? 1 : (a < bb ? 0 : 2); };
+    T.co.sym(T.single_ref_c[ctx3(cnt1 + cnt4, 0)][0], 0);    // fwd group
+    int golden = refv == 4;
+    T.co.sym(T.single_ref_c[ctx3(cnt1, cnt4)][2], golden);   // L/L2 vs L3/G
+    if (golden)
+        T.co.sym(T.single_ref_c[ctx3(0, cnt4)][4], 1);       // L3 vs GOLDEN
+    else
+        T.co.sym(T.single_ref_c[ctx3(cnt1, 0)][3], 0);       // LAST vs L2
 
     T.co.sym(T.newmv_c[st.new_mv_ctx], mode != M_NEWMV);
     if (mode != M_NEWMV) {
@@ -1201,6 +1229,7 @@ static void code_block_inter_common(Tile &T, const int16_t *mv_rows,
             T.mi_newmv[i] = mode == M_NEWMV;
             T.mi_coded[i] = 1;
             T.mi_n4[i] = (int8_t)mi;
+            T.mi_ref[i] = (int8_t)refv;
         }
 
     if (!skip) {
@@ -1373,12 +1402,14 @@ size_t pack_tile_v3(const uint16_t *bitmap, const int16_t *vals,
 // grids in 1/8-pel units
 size_t pack_tile_inter(const uint16_t *bitmap, const int16_t *vals,
                        const int16_t *mv_rows, const int16_t *mv_cols,
+                       const int16_t *refs,
                        int mi_rows, int mi_cols, int qindex,
                        int disable_update, uint8_t *out, size_t cap,
                        const int32_t *cdf_in, int32_t *cdf_out) {
     Tile T;
     T.init(qindex, mi_rows, mi_cols);
     T.init_inter();
+    T.ref_grid = refs;
     tile_cdf_io(T, cdf_in, nullptr, false);
     T.co.update = !disable_update;
     Grids G;
@@ -1399,12 +1430,14 @@ size_t pack_tile_inter(const uint16_t *bitmap, const int16_t *vals,
 size_t pack_tile_inter_part(const uint16_t *bitmap, const int16_t *vals,
                             const int16_t *split32, const int16_t *split64,
                             const int16_t *mv_rows, const int16_t *mv_cols,
+                            const int16_t *refs,
                             int mi_rows, int mi_cols, int qindex,
                             int disable_update, uint8_t *out, size_t cap,
                             const int32_t *cdf_in, int32_t *cdf_out) {
     Tile T;
     T.init(qindex, mi_rows, mi_cols);
     T.init_inter();
+    T.ref_grid = refs;
     tile_cdf_io(T, cdf_in, nullptr, false);
     T.co.update = !disable_update;
     GridsPart G;

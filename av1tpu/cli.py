@@ -364,7 +364,14 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             if progress:
                 progress(s0 + 1, n)
             cap = inter_cap
-            for base in range(s0 + 1, e0, chunk):
+            gop_fn = (encode_gop_chunk_part if partitions
+                      else encode_gop_chunk)
+            bases = list(range(s0 + 1, e0, chunk))
+
+            def prep(base):
+                """Pad + fuse + upload one chunk.  Called for chunk N+1
+                right after chunk N's (async) dispatch, so the host prep
+                and the tunnel upload overlap chunk N's device compute."""
                 k = min(chunk, e0 - base)
                 with clock("host_prep"):
                     fused = np.stack([
@@ -374,15 +381,23 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                         fused = np.concatenate(  # carry feeds only the
                             [fused,              # next keyframe
                              np.repeat(fused[-1:], chunk - k, axis=0)])
+                with clock("upload"):
+                    return k, jax.device_put(fused)
+
+            nxt = prep(bases[0]) if bases else None
+            for bi, base in enumerate(bases):
+                k, fused_dev = nxt
                 ref_in = ref
-                gop_fn = (encode_gop_chunk_part if partitions
-                          else encode_gop_chunk)
+                first = True
                 while True:
                     with clock("inter_dispatch"):
-                        fused_dev = jax.device_put(fused)
                         bufs, ref = gop_fn(fused_dev, ref_in,
                                            q, ch, cw, cap=cap, lf=inter_lf,
                                            cdef_s=cdef_j)
+                    if first:  # prefetch chunk N+1 behind N's compute
+                        nxt = (prep(bases[bi + 1])
+                               if bi + 1 < len(bases) else None)
+                        first = False
                     tus = []
                     # chunk-local CDF chain: committed to `cdfs` only when
                     # the whole chunk packs (capacity retry restarts from

@@ -50,18 +50,31 @@ def split_scenes(
     threshold: float = 2.5,
     min_len: int = 24,
     max_len: int = 240,
+    adapt_ratio: float = 3.0,
+    adapt_floor: float = 0.15,
 ) -> list[tuple[int, int]]:
     """Turn per-frame scores into chunk [start, end) ranges.
 
-    Cuts where score exceeds ``threshold``, merged to honor ``min_len`` and
-    force-split to honor ``max_len`` (mirrors the reference's keyint 240 cap,
-    reference crates/daemon/src/encode/av1an.rs:14).
+    Cuts where score exceeds ``threshold`` absolutely, OR spikes
+    ``adapt_ratio``x above the trailing-window median while clearing
+    ``adapt_floor`` (high-activity content normalizes hard cuts well
+    below any usable absolute threshold — the relative test is what
+    av1an-style detectors key on; the floor stops near-static content
+    from cutting on noise).  Cuts are merged to honor ``min_len`` and
+    force-split to honor ``max_len`` (mirrors the reference's keyint 240
+    cap, reference crates/daemon/src/encode/av1an.rs:14).
     """
     scores = np.asarray(scores)
     n = len(scores)
     cuts = [0]
     for i in range(1, n):
-        if scores[i] > threshold and i - cuts[-1] >= min_len:
+        if i - cuts[-1] < min_len:
+            continue
+        recent = scores[max(i - 16, 1) : i]
+        med = float(np.median(recent)) if len(recent) else 0.0
+        if scores[i] > threshold or (
+            scores[i] > adapt_floor and scores[i] > adapt_ratio * med
+        ):
             cuts.append(i)
     cuts.append(n)
 

@@ -197,16 +197,32 @@ class RateModel:
         self.eob = jnp.asarray(eob_bits_tables(cw * cw, ptype))
 
     def __call__(self, lv, qctx):
-        """lv: (..., n, n) int levels -> (...,) float32 expected bits."""
+        """lv: (..., n, n) int levels -> (...,) float32 expected bits.
+
+        The per-coefficient cost is read WITHOUT a table gather (a
+        millions-of-elements gather runs on the TPU scalar path, ~50 ms
+        per 1080p frame): magnitudes 0..15 resolve through a 16-way
+        select chain (pure vector compares), and magnitudes > 15 use the
+        closed form tab[15] - 1 + exp_golomb(a - 15) — exactly how the
+        table rows themselves were built (coef_rate_tables: the base/br
+        part is constant past 15, only the golomb tail grows)."""
         import jax.numpy as jnp
 
         tab = self.tabs[qctx]
         sk = self.skip[qctx]
-        a = jnp.minimum(jnp.abs(lv), _MAX_LEVEL - 1)
+        a = jnp.abs(lv)
         nz = lv != 0
         # eob = 1 + rank of the last nonzero in scan order (0 if none)
         eob = jnp.max(jnp.where(nz, self.rank + 1, 0), axis=(-2, -1))
         coded = self.rank < eob[..., None, None]
-        coef = jnp.sum(jnp.where(coded, tab[a], 0.0), axis=(-2, -1))
+        small = jnp.zeros(a.shape, jnp.float32)
+        for k in range(16):
+            small = small + jnp.where(a == k, tab[k], 0.0)
+        # exp-golomb length of (a - 15): 2 * bit_length(a - 14) - 1
+        big = (tab[15] - 1.0
+               + 2.0 * jnp.floor(jnp.log2(jnp.maximum(
+                   a.astype(jnp.float32) - 14.0, 2.0))) + 1.0)
+        bits = jnp.where(a > 15, big, small)
+        coef = jnp.sum(jnp.where(coded, bits, 0.0), axis=(-2, -1))
         return jnp.where(eob == 0, sk[1],
                          sk[0] + self.eob[qctx][eob] + coef)

@@ -20,6 +20,7 @@ crates/daemon/src/encode/av1an.rs:14.
 
 import json
 import os
+import sys
 
 QINDEX = 72  # ~= baseline PSNR-Y (41.8 dB) on the baseline clip
 FRAMES = 48
@@ -39,6 +40,8 @@ def main():
     streams, stats = encode_clip(clip, QINDEX, chunk=CHUNK, metric="psnr",
                                  gop=True, partitions=True)
     fps = stats["encode_fps"]
+    print("stage_seconds:", json.dumps(stats.get("stage_seconds", {})),
+          file=sys.stderr)
 
     baseline_fps = None
     bpath = os.path.join(os.path.dirname(__file__), "benchmarks",

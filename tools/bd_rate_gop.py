@@ -32,7 +32,11 @@ from tools.bd_rate import bd_rate  # noqa: E402
 from tools.corpus import get_clip_y4m  # noqa: E402
 
 SVT_CRFS = (20, 28, 36, 44, 52, 60)
-OUR_QS = (48, 80, 112, 144, 176, 208)
+# q 16/32 extend our curve into the anchor's high-quality band so the
+# BD integration interval is the anchor's own operating range instead of
+# a sliver (round-2 finding: "quality ranges do not overlap" on screen/
+# synth — at q>=48 our best point sat below SVT's worst tested CRF)
+OUR_QS = (16, 32, 48, 80, 112, 144, 176, 208)
 
 
 def psnr_y(src, dec) -> float:

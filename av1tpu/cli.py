@@ -583,6 +583,9 @@ def _to_y4m(path: str, tmpdir: str) -> str:
 def cmd_encode(args) -> int:
     from av1tpu.spec.obu import write_ivf
     from av1tpu.utils import read_y4m
+    from av1tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from av1tpu.utils.log import get_logger, profile_trace
 

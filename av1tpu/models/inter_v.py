@@ -65,6 +65,7 @@ _REFINE_R = 2      # +-2 px local refine, step 1 px (covers the 4-px coarse
 #                    grid granularity at full-pel resolution)
 _PATCH = 16 + 2 * _REFINE_R      # gathered per-block reference patch side
 MAX_MV_PX = 4 * _COARSE_R + _REFINE_R
+_GLOBAL_K = 4      # coarse global-shift candidates re-judged at full res
 
 
 def _block_sad(diff, n: int):
@@ -129,8 +130,14 @@ def _coarse_search(src_q, ref_q, lam, snap_margin):
     snap_g = sad_g <= best_sad + snap_margin
     best_dy = jnp.where(snap_g, dys[g_dy], best_dy)
     best_dx = jnp.where(snap_g, dys[g_dx], best_dx)
-    g_abs = jnp.stack([dys[g_dy], dys[g_dx]]) * 4       # dominant, full-res
-    return jnp.stack([best_dy, best_dx], axis=-1) * 4, g_abs
+    # top-K global shift candidates by quarter-res totals, re-judged at
+    # FULL resolution downstream (_global_full): box-pooled SAD aliases on
+    # periodic texture — the quarter-res argmin alone routinely lands a
+    # period off the true global motion, which the +-2 refine can never
+    # recover (the texture-corpus MV bug this stage replaces)
+    _, topi = jax.lax.top_k(-totals.reshape(-1), _GLOBAL_K)
+    shifts4 = jnp.stack([dys[topi // nd], dys[topi % nd]], axis=-1) * 4
+    return jnp.stack([best_dy, best_dx], axis=-1) * 4, shifts4
 
 
 def _patches_select(ref, coarse_px):
@@ -204,24 +211,25 @@ def _refine_search(src_b, patches, coarse_px, lam):
     """+-_REFINE_R even-pel sweep on gathered patches with an incremental
     running minimum (no K-way candidate stack in HBM, no gather for the
     winner).  src_b: (rows, cols, 16, 16); patches: (rows, cols, _PATCH,
-    _PATCH).  Returns final (rows, cols, 2) full-res px MV."""
+    _PATCH).  Returns final (rows, cols, 2) full-res px MV.
+
+    No per-offset coherence snap here: a frame-dominant offset relative
+    to MIXED per-block coarse bases is meaningless (it once snapped flat
+    blocks to junk on the texture corpus); field coherence comes from the
+    absolute full-resolution global snap in _search_mv instead."""
     shape = src_b.shape[:2]
     best_cost = jnp.full(shape, jnp.inf, jnp.float32)
     best_sad = jnp.full(shape, jnp.inf, jnp.float32)
     best = jnp.zeros(shape + (2,), jnp.int32)
     best_pred = jnp.zeros_like(src_b)
-    offs = []
-    sads = []
     for dy in range(-_REFINE_R, _REFINE_R + 1):
         for dx in range(-_REFINE_R, _REFINE_R + 1):
             cand = patches[:, :, _REFINE_R + dy : _REFINE_R + dy + 16,
                            _REFINE_R + dx : _REFINE_R + dx + 16]
             sad = jnp.abs(src_b - cand).sum(axis=(2, 3)).astype(jnp.float32)
-            offs.append((dy, dx))
-            sads.append(sad)
             total = coarse_px + jnp.asarray([dy, dx], jnp.int32)
-            # bias relative to the (coherence-snapped) coarse MV: deviating
-            # from the local prediction is what costs bits, not magnitude
+            # bias relative to the coarse MV: deviating from the local
+            # prediction is what costs bits, not magnitude
             bias = lam * _MV_BIAS * 2.0 * (abs(dy) + abs(dx))
             cost = sad + bias
             take = cost < best_cost
@@ -231,24 +239,50 @@ def _refine_search(src_b, patches, coarse_px, lam):
             # carry the winning prediction too: luma MC comes free from the
             # patches already in registers (saves a full-plane gather)
             best_pred = jnp.where(take[..., None, None], cand, best_pred)
+    return best, best_pred, best_sad
 
-    # full-pel coherence snap (same rationale as the coarse snap): noise
-    # fitting decorrelates neighboring blocks by +-1 px, making every MV a
-    # fresh NEWMV diff; snap to the frame-dominant refine offset where it
-    # is nearly as good
-    totals = jnp.stack([s.sum() for s in sads])        # (K,)
-    gi = jnp.argmin(totals)
-    off_arr = jnp.asarray(offs, jnp.int32)             # (K, 2)
-    off_g = off_arr[gi]
-    pred_g = jax.lax.dynamic_slice(
-        patches, (0, 0, _REFINE_R + off_g[0], _REFINE_R + off_g[1]),
-        patches.shape[:2] + (16, 16))
-    sad_g = jnp.abs(src_b - pred_g).sum(axis=(2, 3)).astype(jnp.float32)
-    snap = sad_g <= best_sad + lam * 14.0
-    best = jnp.where(snap[..., None], coarse_px + off_g, best)
-    best_sad = jnp.where(snap, sad_g, best_sad)
-    best_pred = jnp.where(snap[..., None, None], pred_g, best_pred)
-    return best, best_pred, best_sad, off_g
+
+def _global_full(src, ref, shifts4):
+    """Frame-global motion at FULL resolution: sweep the +-_REFINE_R
+    offsets around each coarse global candidate (top-2 by quarter-res
+    totals, plus zero), judging every (candidate, offset) pair by
+    whole-plane SAD.  Judging the 4-px bases alone is useless on fine
+    texture — a base 1 px off the true shift scores as badly as one 3 px
+    off — so the offset sweep runs per candidate.  The quarter-res winner
+    is within 2 px of the true global shift by pooling (round-to-multiple
+    -of-4), so its window contains the truth whenever the pooled ranking
+    got the basin right; the runner-up and zero cover periodic aliasing
+    and static content.  src/ref: (H, W); shifts4: (K, 2) int32 multiples
+    of 4.  Returns (c0 (2,) the winning 4-px base, g_full (2,) = c0 +
+    best offset, sad_g (rows, cols) per-block SAD at g_full)."""
+    h, w = src.shape
+    P = MAX_MV_PX + 8
+    refp = jnp.pad(ref, P, mode="edge")
+
+    def shifted(dyx):
+        return jax.lax.dynamic_slice(refp, (P + dyx[0], P + dyx[1]),
+                                     (h, w))
+
+    cands = jnp.concatenate([shifts4[:2], jnp.zeros((1, 2), jnp.int32)])
+    best_tot = jnp.float32(jnp.inf)
+    c0 = cands[0]
+    g_full = cands[0]
+    sad_g = None
+    for k in range(cands.shape[0]):
+        base = cands[k]
+        for dy in range(-_REFINE_R, _REFINE_R + 1):
+            for dx in range(-_REFINE_R, _REFINE_R + 1):
+                d = base + jnp.asarray([dy, dx], jnp.int32)
+                pl = shifted(d)
+                sadb = _block_sad(jnp.abs(src - pl), 16).astype(jnp.float32)
+                tot = sadb.sum()
+                take = tot < best_tot
+                best_tot = jnp.where(take, tot, best_tot)
+                c0 = jnp.where(take, base, c0)
+                g_full = jnp.where(take, d, g_full)
+                sad_g = sadb if sad_g is None else jnp.where(take, sadb,
+                                                             sad_g)
+    return c0, g_full, sad_g
 
 
 @functools.cache
@@ -467,9 +501,11 @@ def _chroma_mc(ref, mv8, pix_max):
     return _chroma_mc_pair(ref, ref, mv8, pix_max)[0]
 
 
-def _code_plane_inter(src, pred, qindex, n: int, bit_depth: int):
+def _code_plane_inter(src, pred, qindex, n: int, bit_depth: int,
+                      rm=None, qctx=None, lam=None):
     """Batched residual coding: (rows, cols, n, n) src/pred -> (levels i16
-    (rows, cols, n, n), recon blocks, dist (rows, cols), dskip)."""
+    (rows, cols, n, n), recon blocks, dist (rows, cols), dskip).  With
+    rm/qctx/lam, near-threshold levels are RD-pruned (rdoq.rd_zero)."""
     rows, cols = src.shape[:2]
     pix_max = (1 << bit_depth) - 1
     fwd = jnp.asarray(forward_matrix(n, n, 0))
@@ -477,6 +513,10 @@ def _code_plane_inter(src, pred, qindex, n: int, bit_depth: int):
     resid = (src - pred).reshape(-1, n * n).astype(jnp.float32)
     coefs = resid @ fwd.T
     lv = quantize_coefs(coefs, step, cap)
+    if lam is not None and rm is not None:
+        from av1tpu.models.rdoq import coef_gains, rd_zero
+        lv = rd_zero(lv, coefs, q.astype(jnp.float32), lam, rm.tabs[qctx],
+                     jnp.asarray(coef_gains(n)))
     r = inverse_transform((lv * q).reshape(-1, n, n), n, n, 0)
     rec = jnp.clip(pred.reshape(-1, n, n) + r, 0, pix_max)
     dist = jnp.sum((rec - src.reshape(-1, n, n)) ** 2,
@@ -499,34 +539,28 @@ def _to_blocks(plane, n: int):
 
 def _search_mv(y, ref_y, lam, pix_max):
     """Full luma motion search: quarter-res coarse (+dominant snap), +-2
-    full-pel refine (+dominant snap), a frame-global ABSOLUTE candidate
-    evaluated at full resolution for every block (rescues blocks whose
-    quarter-res SAD landscape aliased into a wrong basin), then the
+    full-pel refine, a frame-global ABSOLUTE candidate chosen and judged
+    at full resolution for every block (rescues blocks whose quarter-res
+    SAD landscape aliased into a wrong basin — periodic texture — and
+    coalesces the field so the MV stack codes it nearly free), then the
     quarter-pel subpel sweep.  Returns (mv8 1/8-pel, pred_y, src_b)."""
     src_q = _block_sad(y, 4) // 16         # 4x4 mean pool (exact ints /16)
     ref_q = _block_sad(ref_y, 4) // 16
-    coarse, g_abs = _coarse_search(src_q, ref_q, lam * _MV_BIAS / 16.0,
-                                   lam * 14.0 / 16.0)
+    coarse, shifts4 = _coarse_search(src_q, ref_q, lam * _MV_BIAS / 16.0,
+                                     lam * 14.0 / 16.0)
     # (quarter-res SADs are ~1/16 of pixel-domain SADs, so both the
     # MV-rate bias and the ~14-bit NEWMV-diff snap margin scale down by 16)
     src_b = _to_blocks(y, 16)
     patches = _patches_select(ref_y, coarse)
-    mv_px, pred_y, best_sad, off_g = _refine_search(src_b, patches, coarse,
-                                                    lam)
-    g_full = g_abs + off_g
-    P = MAX_MV_PX + 8
-    refp = jnp.pad(ref_y, P, mode="edge")
-    shifted = jax.lax.dynamic_slice(refp, (P + g_full[0], P + g_full[1]),
-                                    ref_y.shape)
-    sblocks = _to_blocks(shifted, 16)
-    sad_g = jnp.abs(src_b - sblocks).sum(axis=(2, 3)).astype(jnp.float32)
+    mv_px, pred_y, best_sad = _refine_search(src_b, patches, coarse, lam)
+    c0, g_full, sad_g = _global_full(y, ref_y, shifts4)
     snap = sad_g <= best_sad + lam * 14.0
     mv_px = jnp.where(snap[..., None], g_full, mv_px)
 
     # every block's MV is coarse + off with off in [-2, 2]: the refine
-    # winner by construction, and the global candidate g_abs + off_g by
-    # the same decomposition — keep the pair for subpel patch assembly
-    coarse_f = jnp.where(snap[..., None], g_abs[None, None], coarse)
+    # winner by construction, and the global candidate c0 + off by the
+    # same decomposition — keep the pair for subpel patch assembly
+    coarse_f = jnp.where(snap[..., None], c0[None, None], coarse)
     off_f = mv_px - coarse_f
     p24 = _patches24_select(ref_y, coarse_f, off_f)
     mv8, pred_y = _subpel_refine(src_b, p24, mv_px, lam, pix_max)
@@ -553,15 +587,21 @@ def encode_inter_v(y, u, v, ref_y, ref_u, ref_v, qindex,
     # chroma is interpolated at 1/16-pel chroma resolution
     pred_u, pred_v = _chroma_mc_pair(ref_u, ref_v, mv8, pix_max)
 
+    from av1tpu.models.rates import RateModel, qctx_index
+
+    qctx = qctx_index(qindex)
+    lamp = ac * ac * 0.0234
     ly, ry, dy, dsky = _code_plane_inter(src_b, pred_y, qindex, 16,
-                                         bit_depth)
+                                         bit_depth, RateModel(16, 0),
+                                         qctx, lamp)
     lu, ru, du_, dsku = _code_plane_inter(_to_blocks(u, 8), pred_u,
-                                          qindex, 8, bit_depth)
+                                          qindex, 8, bit_depth,
+                                          RateModel(8, 1), qctx, lamp)
     lv, rv, dv_, dskv = _code_plane_inter(_to_blocks(v, 8), pred_v,
-                                          qindex, 8, bit_depth)
+                                          qindex, 8, bit_depth,
+                                          RateModel(8, 1), qctx, lamp)
     # joint skip-vs-code RD per 16-block (one AV1 skip flag covers all
     # three planes; see _skip_rdo) with the log2-level rate proxy
-    lamp = ac * ac * 0.0234
     coded = (dy + du_ + dv_
              + lamp * (_rate_of(ly) + _rate_of(lu) + _rate_of(lv)))
     m = (dsky + dsku + dskv + lamp) < coded
@@ -599,15 +639,23 @@ def _rate_of(lv):
 
 
 def _code_nn(src, pred, fwd, step, q, dq_shift: int, cap, pix_max,
-             rm=None, qctx=None):
+             rm=None, qctx=None, lam=None, gains=None):
     """Generic n x n DCT residual coding on (..., n, n) blocks.  Returns
     (levels i32, recon, dist_pix f32, rate f32).  rm: optional
     rates.RateModel — expected bits from the real coefficient CDFs
-    (qctx: traced quality bucket); without it, the log2 proxy."""
+    (qctx: traced quality bucket); without it, the log2 proxy.  With lam
+    + gains (rdoq.coef_gains), near-threshold levels whose bit cost
+    exceeds their distortion value are pruned (rdoq.rd_zero)."""
     n = src.shape[-1]
     sh = src.shape[:-2]
     resid = (src - pred).reshape(-1, n * n).astype(jnp.float32)
-    lv = quantize_coefs(resid @ fwd.T, step, cap)
+    coefs = resid @ fwd.T
+    lv = quantize_coefs(coefs, step, cap)
+    if lam is not None and rm is not None:
+        from av1tpu.models.rdoq import rd_zero
+        lv = rd_zero(lv, coefs,
+                     q.astype(jnp.float32) * (0.5 ** dq_shift),
+                     lam, rm.tabs[qctx], gains)
     dq = lv * q
     if dq_shift:
         dq = jnp.sign(dq) * (jnp.abs(dq) >> dq_shift)
@@ -694,13 +742,18 @@ def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
         mv8.reshape(rows64, 4, cols64, 4, 2)
         == mv8[::4, ::4][:, None, :, None, :], axis=(1, 3, 4))
 
+    from av1tpu.models.rdoq import coef_gains, rd_zero
+
+    g8, g16 = jnp.asarray(coef_gains(8)), jnp.asarray(coef_gains(16))
+    g32, g64 = jnp.asarray(coef_gains(32)), jnp.asarray(coef_gains(64))
+
     # ---- 16 leaf (luma + chroma) ----
     y16t = _code_nn(src_b, pred_b, fwd16, step16, q16, 0,
-                    cap16, pix_max, rm16y, qctx)
+                    cap16, pix_max, rm16y, qctx, lam, g16)
     cl = []
     for sc, pc in zip(src_cb, pred_cb):
         cl.append(_code_nn(sc, pc, fwd8, step8, q8, 0, cap8, pix_max,
-                           rm8c, qctx))
+                           rm8c, qctx, lam, g8))
     _, (lv16, rec16, d16, r16), (lu8, recu8, du8, ru8), \
         (lv8, recv8, dv8, rv8) = _skip_rdo(lam, y16t, cl[0], cl[1],
                                            pred_b, pred_cb[0], pred_cb[1])
@@ -709,11 +762,11 @@ def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
     s32 = _join_blocks(src_b, 2)
     p32 = _join_blocks(pred_b, 2)
     y32t = _code_nn(s32, p32, fwd32, step32 * 0.5, q32, 1,
-                    cap32, pix_max, rm32y, qctx)
+                    cap32, pix_max, rm32y, qctx, lam, g32)
     sc16 = [_join_blocks(s, 2) for s in src_cb]
     pc16 = [_join_blocks(p, 2) for p in pred_cb]
     cc = [_code_nn(s, p, fwd16, step16, q16, 0, cap16, pix_max,
-                   rm16c, qctx)
+                   rm16c, qctx, lam, g16)
           for s, p in zip(sc16, pc16)]
     _, (lv32, rec32, d32, r32), (lu16, recu16, du16, ru16), \
         (lv16c, recv16, dv16, rv16) = _skip_rdo(lam, y32t, cc[0], cc[1],
@@ -739,7 +792,10 @@ def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
     s64 = _join_blocks(src_b, 4)
     p64 = _join_blocks(pred_b, 4)
     resid64 = (s64 - p64).reshape(-1, 4096).astype(jnp.float32)
-    lv64 = quantize_coefs(resid64 @ f64.T, step32 * 0.25, cap32)
+    coef64 = resid64 @ f64.T
+    lv64 = quantize_coefs(coef64, step32 * 0.25, cap32)
+    lv64 = rd_zero(lv64, coef64, q32.astype(jnp.float32) * 0.25, lam,
+                   rm64y.tabs[qctx], g64)
     dq64 = jnp.sign(lv64) * ((jnp.abs(lv64) * q32) >> 2)
     full = jnp.zeros((rows64 * cols64, 64, 64), jnp.int32).at[
         :, :32, :32].set(dq64.reshape(-1, 32, 32))
@@ -754,7 +810,7 @@ def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
     sc32 = [_join_blocks(s, 4) for s in src_cb]
     pc32 = [_join_blocks(p, 4) for p in pred_cb]
     c32 = [_code_nn(s, p, fwd32, step32 * 0.5, q32, 1, cap32, pix_max,
-                    rm32c, qctx)
+                    rm32c, qctx, lam, g32)
            for s, p in zip(sc32, pc32)]
     _, (lv64, rec64q, d64, r64l), (lu32, recu32, du32, ru32), \
         (lv32c, recv32, dv32, rv32) = _skip_rdo(lam, y64t, c32[0], c32[1],

@@ -85,7 +85,7 @@ def _edges(bottom, av, n: int, cols: int):
 def _mode_rdo(blocks, ae, consts):
     """Shared V/D45/D67 RD selection for one row of n x n blocks.
     Returns (lv int32 (cols,n,n), pred (cols,n,n), modes int8, cost_pix)."""
-    n, fwd, step_eff, cap, lam_pix = consts
+    n, fwd, step_eff, cap, lam_pix, tab, gains = consts
     cols = blocks.shape[0]
     pred_v = jnp.repeat(ae[:, None, :n], n, axis=1)
     cands = [(1, pred_v)]
@@ -97,6 +97,9 @@ def _mode_rdo(blocks, ae, consts):
     resid = (blocks_r - preds).reshape(nm * cols, n * n).astype(jnp.float32)
     coefs = resid @ fwd.T
     lv_all = quantize_coefs(coefs, step_eff, cap)
+    if tab is not None:
+        from av1tpu.models.rdoq import rd_zero
+        lv_all = rd_zero(lv_all, coefs, step_eff, lam_pix, tab, gains)
     dist = (jnp.sum((coefs - lv_all * step_eff) ** 2, axis=1)
             / _RATIO[n]).reshape(nm, -1)
     alv = jnp.abs(lv_all.astype(jnp.float32))
@@ -140,8 +143,14 @@ def _encode_luma_part(src, qindex, bit_depth: int = 8):
     step32, q32, cap32 = _plane_params(qindex, 32, bit_depth)
     ac = step16[1]
     lam_pix = (ac * ac * 0.0234).astype(jnp.float32)
-    c16 = (16, fwd16, step16, cap16, lam_pix)
-    c32 = (32, fwd32, step32 * 0.5, cap32, lam_pix)  # dequant shift 1
+    from av1tpu.models.rates import RateModel, qctx_index
+    from av1tpu.models.rdoq import coef_gains
+
+    qctx = qctx_index(qindex)
+    c16 = (16, fwd16, step16, cap16, lam_pix,
+           RateModel(16, 0).tabs[qctx], jnp.asarray(coef_gains(16)))
+    c32 = (32, fwd32, step32 * 0.5, cap32, lam_pix,   # dequant shift 1
+           RateModel(32, 0).tabs[qctx], jnp.asarray(coef_gains(32)))
 
     src16 = src.reshape(rows16, 16, cols16, 16).transpose(0, 2, 1, 3)
     src32 = src.reshape(rows32, 32, cols32, 32).transpose(0, 2, 1, 3)
@@ -233,6 +242,8 @@ def _encode_luma_part(src, qindex, bit_depth: int = 8):
     # rows; effective step is q/4 (TX_64X64 dequant shift 2)
     step64_base, q64, cap64 = _plane_params(qindex, 32, bit_depth)
     step64 = step64_base * 0.25
+    tab64 = RateModel(64, 0).tabs[qctx]
+    g64 = jnp.asarray(coef_gains(64))
     src64 = src.reshape(rows64, 64, cols64, 64).transpose(0, 2, 1, 3)
     # above-right of a 64 block = the next SB at the fully-decoded row above
     av64_np = np.zeros((rows64, cols64), np.bool_)
@@ -249,6 +260,9 @@ def _encode_luma_part(src, qindex, bit_depth: int = 8):
         resid = (blocks64 - pred64).reshape(cols64, 4096).astype(jnp.float32)
         coefs = resid @ f64.T                      # (cols64, 1024)
         lv64 = quantize_coefs(coefs, step64, cap64)
+        from av1tpu.models.rdoq import rd_zero as _rdz
+        lv64 = _rdz(lv64, coefs, q64.astype(jnp.float32) * 0.25, lam_pix,
+                    tab64, g64)
         dq = jnp.sign(lv64) * ((jnp.abs(lv64) * q64) >> 2)
         full = jnp.zeros((cols64, 64, 64), jnp.int32).at[
             :, :32, :32].set(dq.reshape(cols64, 32, 32))
@@ -350,6 +364,18 @@ def _encode_chroma_dual(src, split, split64, qindex, bit_depth: int = 8):
     step8, q8, cap8 = _plane_params(qindex, 8, bit_depth)
     step16, q16, cap16 = _plane_params(qindex, 16, bit_depth)
 
+    from av1tpu.models.rates import RateModel, qctx_index
+    from av1tpu.models.rdoq import coef_gains, rd_zero
+
+    qctx = qctx_index(qindex)
+    ac = _plane_params(qindex, 16, bit_depth)[0][1]
+    lam_pix = (ac * ac * 0.0234).astype(jnp.float32)
+    ctabs = {8: RateModel(8, 1).tabs[qctx], 16: RateModel(16, 1).tabs[qctx],
+             32: RateModel(32, 1).tabs[qctx]}
+    cgains = {(8, 1): jnp.asarray(coef_gains(8, 1)),
+              (16, 1): jnp.asarray(coef_gains(16, 1)),
+              (32, 0): jnp.asarray(coef_gains(32, 0))}
+
     src8 = src.reshape(rows8, 8, cols8, 8).transpose(0, 2, 1, 3)
     src16 = src.reshape(rows16c, 16, cols16c, 16).transpose(0, 2, 1, 3)
 
@@ -358,6 +384,8 @@ def _encode_chroma_dual(src, split, split64, qindex, bit_depth: int = 8):
         resid = (blocks - pred).reshape(b, n * n).astype(jnp.float32)
         coefs = resid @ fwd.T
         lv = quantize_coefs(coefs, step, cap)
+        lv = rd_zero(lv, coefs, q.astype(jnp.float32), lam_pix,
+                     ctabs[n], cgains[(n, tt)])
         r = inverse_transform((lv * q).reshape(b, n, n), n, n, tt)
         return lv.reshape(b, n, n), jnp.clip(pred + r, 0, pix_max)
 
@@ -418,6 +446,8 @@ def _encode_chroma_dual(src, split, split64, qindex, bit_depth: int = 8):
             jnp.float32)
         coefs = resid @ fwd32.T
         lv32 = quantize_coefs(coefs, step32, cap32)
+        lv32 = rd_zero(lv32, coefs, q32.astype(jnp.float32) * 0.5,
+                       lam_pix, ctabs[32], cgains[(32, 0)])
         dq = jnp.sign(lv32) * ((jnp.abs(lv32) * q32) >> 1)
         rec32 = jnp.clip(
             pred32 + inverse_transform(dq.reshape(cols32c, 32, 32),

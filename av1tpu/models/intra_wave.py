@@ -221,12 +221,24 @@ def encode_intra_wave(y, u, v, qindex, bit_depth: int = 8):
         "ur": jnp.asarray(ur_np[r_np, c_np] & valid_np),
     }
 
+    from av1tpu.models.rdoq import coef_gains, rd_zero
+
+    rm8c = RateModel(8, 1)
+    g16, g8 = jnp.asarray(coef_gains(16)), jnp.asarray(coef_gains(8))
+
     def code_blocks(src, pred, fwd, stepq, q, cap, n, rm=None):
         """(..., n, n) -> levels, recon, dist, rate.  rm: optional
-        rates.RateModel (real-CDF expected bits; else the log2 proxy)."""
+        rates.RateModel (real-CDF expected bits; else the log2 proxy).
+        Near-threshold levels are RD-pruned against the frame lambda
+        (rdoq.rd_zero) — on noisy sources this is what keeps the
+        keyframe from coding sensor noise coefficient by coefficient."""
         sh = src.shape[:-2]
         resid = (src - pred).reshape(-1, n * n).astype(jnp.float32)
-        lv = quantize_coefs(resid @ fwd.T, stepq, cap)
+        coefs = resid @ fwd.T
+        lv = quantize_coefs(coefs, stepq, cap)
+        rdm = rm if rm is not None else rm8c
+        lv = rd_zero(lv, coefs, q.astype(jnp.float32), lam,
+                     rdm.tabs[qctx], g16 if n == 16 else g8)
         rec = jnp.clip(pred.reshape(-1, n, n)
                        + inverse_transform((lv * q).reshape(-1, n, n),
                                            n, n, 0), 0, pix_max)

@@ -30,6 +30,9 @@ CHUNK = 8    # inter frames per TPU round-trip
 def main():
     from av1tpu.cli import encode_clip
     from av1tpu.utils import synthetic_clip
+    from av1tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     # warm-up: a full identical run so every production shape (scene
     # scores, keyframe, gop step, probe, cdef search) is compiled before

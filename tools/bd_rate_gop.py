@@ -142,6 +142,9 @@ def run_clip(name, w, h, frames, tmp):
 
 
 def main():
+    from av1tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--clips", default="photo,texture,screen,synth")
     ap.add_argument("--width", type=int, default=1280)

@@ -265,7 +265,6 @@ def _global_full(src, ref, shifts4):
 
     cands = jnp.concatenate([shifts4[:2], jnp.zeros((1, 2), jnp.int32)])
     best_tot = jnp.float32(jnp.inf)
-    c0 = cands[0]
     g_full = cands[0]
     sad_g = None
     for k in range(cands.shape[0]):
@@ -278,10 +277,33 @@ def _global_full(src, ref, shifts4):
                 tot = sadb.sum()
                 take = tot < best_tot
                 best_tot = jnp.where(take, tot, best_tot)
-                c0 = jnp.where(take, base, c0)
                 g_full = jnp.where(take, d, g_full)
                 sad_g = sadb if sad_g is None else jnp.where(take, sadb,
                                                              sad_g)
+
+    # iterative full-res descent: the candidate windows above tile only
+    # {4k +- 2}, and on pure-periodic content the pooled ranking carries
+    # no information about which base is right — walk the SAD surface
+    # from the running winner instead (2 x (+-2) steps reach anything
+    # within 4 px of the best window point, e.g. shifts == 3 mod 4)
+    for _ in range(2):
+        base = g_full
+        for dy in range(-_REFINE_R, _REFINE_R + 1):
+            for dx in range(-_REFINE_R, _REFINE_R + 1):
+                d = jnp.clip(base + jnp.asarray([dy, dx], jnp.int32),
+                             -MAX_MV_PX, MAX_MV_PX)
+                pl = shifted(d)
+                sadb = _block_sad(jnp.abs(src - pl), 16).astype(jnp.float32)
+                tot = sadb.sum()
+                take = tot < best_tot
+                best_tot = jnp.where(take, tot, best_tot)
+                g_full = jnp.where(take, d, g_full)
+                sad_g = jnp.where(take, sadb, sad_g)
+
+    # 4-px decomposition of the final winner (off in [-2, 2] for the
+    # subpel patch assembly): nearest multiple of 4, clipped to the
+    # coarse range
+    c0 = jnp.clip(((g_full + 2) >> 2) << 2, -4 * _COARSE_R, 4 * _COARSE_R)
     return c0, g_full, sad_g
 
 
@@ -747,13 +769,19 @@ def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
     g8, g16 = jnp.asarray(coef_gains(8)), jnp.asarray(coef_gains(16))
     g32, g64 = jnp.asarray(coef_gains(32)), jnp.asarray(coef_gains(64))
 
+    def _code_nn_uv(src_pair, pred_pair, fwd, step, q, dq_shift, cap,
+                    rm, gains):
+        """u and v coded in ONE _code_nn instantiation (stacked leading
+        axis): halves the chroma transform/rate-model graph, which is
+        where the GOP step's HLO size (and so its compile time) lives."""
+        t = _code_nn(jnp.stack(src_pair), jnp.stack(pred_pair), fwd, step,
+                     q, dq_shift, cap, pix_max, rm, qctx, lam, gains)
+        return (tuple(x[0] for x in t), tuple(x[1] for x in t))
+
     # ---- 16 leaf (luma + chroma) ----
     y16t = _code_nn(src_b, pred_b, fwd16, step16, q16, 0,
                     cap16, pix_max, rm16y, qctx, lam, g16)
-    cl = []
-    for sc, pc in zip(src_cb, pred_cb):
-        cl.append(_code_nn(sc, pc, fwd8, step8, q8, 0, cap8, pix_max,
-                           rm8c, qctx, lam, g8))
+    cl = _code_nn_uv(src_cb, pred_cb, fwd8, step8, q8, 0, cap8, rm8c, g8)
     _, (lv16, rec16, d16, r16), (lu8, recu8, du8, ru8), \
         (lv8, recv8, dv8, rv8) = _skip_rdo(lam, y16t, cl[0], cl[1],
                                            pred_b, pred_cb[0], pred_cb[1])
@@ -765,9 +793,7 @@ def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
                     cap32, pix_max, rm32y, qctx, lam, g32)
     sc16 = [_join_blocks(s, 2) for s in src_cb]
     pc16 = [_join_blocks(p, 2) for p in pred_cb]
-    cc = [_code_nn(s, p, fwd16, step16, q16, 0, cap16, pix_max,
-                   rm16c, qctx, lam, g16)
-          for s, p in zip(sc16, pc16)]
+    cc = _code_nn_uv(sc16, pc16, fwd16, step16, q16, 0, cap16, rm16c, g16)
     _, (lv32, rec32, d32, r32), (lu16, recu16, du16, ru16), \
         (lv16c, recv16, dv16, rv16) = _skip_rdo(lam, y32t, cc[0], cc[1],
                                                 p32, pc16[0], pc16[1])
@@ -809,9 +835,8 @@ def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
     y64t = (lv64, rec64.reshape(rows64, cols64, 64, 64), d64, r64l, dsk64)
     sc32 = [_join_blocks(s, 4) for s in src_cb]
     pc32 = [_join_blocks(p, 4) for p in pred_cb]
-    c32 = [_code_nn(s, p, fwd32, step32 * 0.5, q32, 1, cap32, pix_max,
-                    rm32c, qctx, lam, g32)
-           for s, p in zip(sc32, pc32)]
+    c32 = _code_nn_uv(sc32, pc32, fwd32, step32 * 0.5, q32, 1, cap32,
+                      rm32c, g32)
     _, (lv64, rec64q, d64, r64l), (lu32, recu32, du32, ru32), \
         (lv32c, recv32, dv32, rv32) = _skip_rdo(lam, y64t, c32[0], c32[1],
                                                 p64, pc32[0], pc32[1])

@@ -182,10 +182,17 @@ def _edges_from_blocks(rec, r_i, c_i, have_a, have_l, ur_ok, base, n):
     return jnp.concatenate([above, ur], axis=1), left, corner
 
 
-@functools.partial(jax.jit, static_argnames=("bit_depth",))
-def encode_intra_wave(y, u, v, qindex, bit_depth: int = 8):
+@functools.partial(jax.jit, static_argnames=("bit_depth", "lam_scale"))
+def encode_intra_wave(y, u, v, qindex, bit_depth: int = 8,
+                      lam_scale: float = 1.0):
     """Full-frame wavefront intra encode.  Returns level grids, recon
-    planes and per-block luma modes (uv is DC_PRED everywhere)."""
+    planes and per-block luma modes (uv is DC_PRED everywhere).
+
+    lam_scale: RDO lambda multiplier.  A GOP keyframe's reconstruction is
+    referenced by every following frame in the scene (and carried through
+    their skip blocks verbatim), so its distortion is paid ~scene-length
+    times while its bits are paid once; the CLI passes the same
+    _REF_LAM_SCALE discount the inter merge RDO uses (inter_v.py)."""
     h, w = y.shape
     rows, cols = h // 16, w // 16
     base = 1 << (bit_depth - 1)
@@ -198,7 +205,7 @@ def encode_intra_wave(y, u, v, qindex, bit_depth: int = 8):
     step16, q16, cap16 = _plane_params(qindex, 16, bit_depth)
     step8, q8, cap8 = _plane_params(qindex, 8, bit_depth)
     ac = step16[1]
-    lam = (ac * ac * 0.0234).astype(jnp.float32)
+    lam = (ac * ac * 0.0234 * lam_scale).astype(jnp.float32)
     from av1tpu.models.rates import RateModel, kf_mode_bits, qctx_index
 
     mode_bits = jnp.asarray(kf_mode_bits()[list(WAVE_MODES)])
@@ -336,7 +343,7 @@ def encode_intra_wave(y, u, v, qindex, bit_depth: int = 8):
 
 
 def _wave_key_body(frame_u8, qindex, height: int, width: int,
-                   cap: int = 163840, lf3=None):
+                   cap: int = 163840, lf3=None, lam_scale: float = 1.0):
     """Wavefront keyframe for a GOP: compact transport (same layout as
     intra_v's [head | bitmap | vals | modes]) + fused int32 recon kept on
     device as the inter scan's starting reference.  lf3: None or (3,)
@@ -350,7 +357,8 @@ def _wave_key_body(frame_u8, qindex, height: int, width: int,
                                         width // 2).astype(jnp.int32)
     vv = frame_u8[ny + nc :].reshape(height // 2,
                                      width // 2).astype(jnp.int32)
-    o = encode_intra_wave(yy, uu, vv, qindex, bit_depth=bit_depth)
+    o = encode_intra_wave(yy, uu, vv, qindex, bit_depth=bit_depth,
+                          lam_scale=lam_scale)
     flat = jnp.concatenate([o["levels_y"].reshape(-1),
                             o["levels_u"].reshape(-1),
                             o["levels_v"].reshape(-1)])
@@ -382,11 +390,14 @@ def _wave_key_body(frame_u8, qindex, height: int, width: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("height", "width", "cap", "lf"))
+                   static_argnames=("height", "width", "cap", "lf",
+                                    "lam_scale"))
 def encode_intra_wave_key_recon(frame_u8, qindex, height: int, width: int,
-                                cap: int = 163840, lf=None):
+                                cap: int = 163840, lf=None,
+                                lam_scale: float = 1.0):
     """Jit of _wave_key_body with static lf levels (the single-device CLI
     path)."""
     lf3 = jnp.asarray(lf, jnp.int32) if (lf is not None and any(lf)) \
         else None
-    return _wave_key_body(frame_u8, qindex, height, width, cap, lf3)
+    return _wave_key_body(frame_u8, qindex, height, width, cap, lf3,
+                          lam_scale)

@@ -78,6 +78,7 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                 target_quality: float = 0.0, metric: str = "tpu_vmaf",
                 partitions: bool = True, scene_threshold: float = 2.5,
                 gop: bool = True, key_q_boost: int = KEY_Q_BOOST,
+                key_lam_scale: float = 1.0, key_tf: bool = True,
                 workers: int = 1) -> tuple[list[bytes], dict]:
     """Encode a Clip into AV1 TUs.  gop=True (the production mode) codes one
     keyframe per scene and inter frames in between, matching the reference's
@@ -261,9 +262,20 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             key_q = max(q - key_q_boost, 1) if e0 - s0 > 1 else q
             lyk, _, luk, lvk = lf_levels(key_q)
             ly_i, _, lu_i, lv_i = lf_levels(q)
+            frames = np.stack([fuse_planes(*padded(i), bit_depth=bd)
+                               for i in range(s0, e0)])
+            ntf = min(3, e0 - s0 - 1) if key_tf else 0
+            if ntf > 0:
+                from av1tpu.models.tfilter import temporal_filter_key
+                with clock("tfilter"):
+                    neigh = np.stack([frames[min(1 + j, ntf)]
+                                      for j in range(3)])
+                    frames = frames.copy()
+                    frames[0] = np.asarray(temporal_filter_key(
+                        jax.device_put(frames[0]), jax.device_put(neigh),
+                        ch, cw, bit_depth=bd))
             scenes.append({
-                "frames": np.stack([fuse_planes(*padded(i), bit_depth=bd)
-                                    for i in range(s0, e0)]),
+                "frames": frames,
                 "q": q, "key_q": key_q,
                 "key_lf": (lyk, luk, lvk),
                 "inter_lf": (ly_i, lu_i, lv_i),
@@ -278,7 +290,8 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                 results = enc.encode(
                     key_cap, cap, part=partitions,
                     skip8_host_fn=lambda buf: skip8_host(
-                        split_compact(buf, ch, cw)[1], ch, cw))
+                        split_compact(buf, ch, cw)[1], ch, cw),
+                    key_lam_scale=key_lam_scale)
                 try:
                     batch_tus = []
                     for sc, res in zip(batch, results):
@@ -318,6 +331,7 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             ly_i, _, lu_i, lv_i = lf_levels(q)
             inter_lf = (ly_i, lu_i, lv_i)
             fused0 = fuse_planes(*planes0, bit_depth=bd)
+            ntf = min(3, e0 - s0 - 1) if key_tf else 0
             # quality preset: wavefront full-mode intra (DC/V/H/D45/D67/
             # SMOOTH*/PAETH) — the keyframe is the whole scene's transitive
             # reference, so its quality dominates; fast preset keeps the
@@ -328,14 +342,31 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             key_cap = 163840
             with clock("upload"):
                 fused0_dev = jax.device_put(fused0)
+            # motion-compensated temporal filter: the keyframe is coded
+            # from a denoised average of itself + following frames (the
+            # reference's SVT enable-tf; decoder-invisible).  Neighbor
+            # count is static (3) — short scenes pad with the key itself
+            # (exact match, just deepens the average toward the key)
+            key_src = fused0_dev
+            if ntf > 0:
+                from av1tpu.models.tfilter import temporal_filter_key
+                with clock("tfilter"):
+                    neigh = np.stack(
+                        [fuse_planes(*padded(min(s0 + 1 + j, e0 - 1)),
+                                     bit_depth=bd) if j < ntf else fused0
+                         for j in range(3)])
+                    key_src = temporal_filter_key(
+                        fused0_dev, jax.device_put(neigh), ch, cw,
+                        bit_depth=bd)
             # CDF carry chain: keyframe saves its end-of-frame CDFs, every
             # inter frame in the scene loads the previous frame's and saves
             # its own (primary_ref_frame = LAST)
             cdfs = packer.new_cdf_blob()
+            key_kw = ({"lam_scale": key_lam_scale} if partitions else {})
             while True:  # low-q keyframes can exceed the value capacity:
                 with clock("key_device"):
-                    buf, ref = key_fn(fused0_dev, key_q, ch, cw,
-                                      cap=key_cap, lf=key_lf)
+                    buf, ref = key_fn(key_src, key_q, ch, cw,
+                                      cap=key_cap, lf=key_lf, **key_kw)
                     buf_np = np.asarray(buf)
                 # per-scene CDEF strength search on the keyframe: skip
                 # gating from the coded significance bitmap, preset with
@@ -620,6 +651,8 @@ def cmd_encode(args) -> int:
                 partitions=args.preset == "quality",
                 scene_threshold=args.scene_threshold,
                 gop=not args.all_intra, key_q_boost=args.key_q_boost,
+                key_lam_scale=args.key_lam_scale,
+                key_tf=not args.no_key_tf,
                 workers=args.workers)
         log.info("encoded %d frames in %.2fs (%.2f fps), %d scenes",
                  stats["frames"], stats["encode_seconds"],
@@ -660,6 +693,12 @@ def main(argv=None) -> int:
                      help="keyframe qindex boost below the scene q "
                           "(RDO: keyframe distortion propagates through "
                           "the scene; swept on the corpus)")
+    enc.add_argument("--key-lam-scale", type=float, default=1.0,
+                     help="keyframe RDO lambda multiplier (<1 biases the "
+                          "scene-long reference toward quality)")
+    enc.add_argument("--no-key-tf", action="store_true",
+                     help="disable motion-compensated temporal filtering "
+                          "of keyframes (SVT enable-tf equivalent)")
     enc.add_argument("--chunk", type=int, default=4,
                      help="frames per TPU round-trip")
     enc.add_argument("--temp", default=None, help="temp directory")

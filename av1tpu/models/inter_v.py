@@ -745,7 +745,14 @@ def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
     step32, q32, cap32 = _plane_params(qindex, 32, bit_depth)
     step8, q8, cap8 = _plane_params(qindex, 8, bit_depth)
     ac = step16[1]
-    lam = (ac * ac * 0.0234 * _REF_LAM_SCALE).astype(jnp.float32)
+    # two lambdas: merge-size choices use the reference-chain discount
+    # (excess distortion in a merged block compounds down the chain), but
+    # the skip and coefficient-pruning decisions use the FULL frame
+    # lambda — residual noise is iid, so coding it never helps later
+    # frames (it actively hurts: the reference then carries stale noise),
+    # and a discounted lambda there re-codes sensor noise every frame
+    lam_full = (ac * ac * 0.0234).astype(jnp.float32)
+    lam = (lam_full * _REF_LAM_SCALE).astype(jnp.float32)
 
     # expected-bits models from the real coefficient CDFs (rates.py): the
     # merge RDO compares true costs instead of the log2 level proxy
@@ -775,27 +782,28 @@ def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
         axis): halves the chroma transform/rate-model graph, which is
         where the GOP step's HLO size (and so its compile time) lives."""
         t = _code_nn(jnp.stack(src_pair), jnp.stack(pred_pair), fwd, step,
-                     q, dq_shift, cap, pix_max, rm, qctx, lam, gains)
+                     q, dq_shift, cap, pix_max, rm, qctx, lam_full,
+                     gains)
         return (tuple(x[0] for x in t), tuple(x[1] for x in t))
 
     # ---- 16 leaf (luma + chroma) ----
     y16t = _code_nn(src_b, pred_b, fwd16, step16, q16, 0,
-                    cap16, pix_max, rm16y, qctx, lam, g16)
+                    cap16, pix_max, rm16y, qctx, lam_full, g16)
     cl = _code_nn_uv(src_cb, pred_cb, fwd8, step8, q8, 0, cap8, rm8c, g8)
     _, (lv16, rec16, d16, r16), (lu8, recu8, du8, ru8), \
-        (lv8, recv8, dv8, rv8) = _skip_rdo(lam, y16t, cl[0], cl[1],
+        (lv8, recv8, dv8, rv8) = _skip_rdo(lam_full, y16t, cl[0], cl[1],
                                            pred_b, pred_cb[0], pred_cb[1])
 
     # ---- 32 merge (luma 32 DCT shift1 + chroma 16 DCT) ----
     s32 = _join_blocks(src_b, 2)
     p32 = _join_blocks(pred_b, 2)
     y32t = _code_nn(s32, p32, fwd32, step32 * 0.5, q32, 1,
-                    cap32, pix_max, rm32y, qctx, lam, g32)
+                    cap32, pix_max, rm32y, qctx, lam_full, g32)
     sc16 = [_join_blocks(s, 2) for s in src_cb]
     pc16 = [_join_blocks(p, 2) for p in pred_cb]
     cc = _code_nn_uv(sc16, pc16, fwd16, step16, q16, 0, cap16, rm16c, g16)
     _, (lv32, rec32, d32, r32), (lu16, recu16, du16, ru16), \
-        (lv16c, recv16, dv16, rv16) = _skip_rdo(lam, y32t, cc[0], cc[1],
+        (lv16c, recv16, dv16, rv16) = _skip_rdo(lam_full, y32t, cc[0], cc[1],
                                                 p32, pc16[0], pc16[1])
 
     def sum4(x, r2, c2):
@@ -820,8 +828,8 @@ def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
     resid64 = (s64 - p64).reshape(-1, 4096).astype(jnp.float32)
     coef64 = resid64 @ f64.T
     lv64 = quantize_coefs(coef64, step32 * 0.25, cap32)
-    lv64 = rd_zero(lv64, coef64, q32.astype(jnp.float32) * 0.25, lam,
-                   rm64y.tabs[qctx], g64)
+    lv64 = rd_zero(lv64, coef64, q32.astype(jnp.float32) * 0.25,
+                   lam_full, rm64y.tabs[qctx], g64)
     dq64 = jnp.sign(lv64) * ((jnp.abs(lv64) * q32) >> 2)
     full = jnp.zeros((rows64 * cols64, 64, 64), jnp.int32).at[
         :, :32, :32].set(dq64.reshape(-1, 32, 32))
@@ -838,7 +846,7 @@ def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
     c32 = _code_nn_uv(sc32, pc32, fwd32, step32 * 0.5, q32, 1, cap32,
                       rm32c, g32)
     _, (lv64, rec64q, d64, r64l), (lu32, recu32, du32, ru32), \
-        (lv32c, recv32, dv32, rv32) = _skip_rdo(lam, y64t, c32[0], c32[1],
+        (lv32c, recv32, dv32, rv32) = _skip_rdo(lam_full, y64t, c32[0], c32[1],
                                                 p64, pc32[0], pc32[1])
     cost64 = d64 + lam * r64l + du32 + lam * ru32 + dv32 + lam * rv32
     cost_sel32 = jnp.where(ch32, cost32, cost16)

@@ -42,11 +42,14 @@ def _shard(mesh: Mesh, arr, batch_axes: int = 1):
     return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, spec))
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width", "cap"))
-def _scenes_key(frames0, qs, lf3s, height: int, width: int, cap: int):
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "cap", "lam_scale"))
+def _scenes_key(frames0, qs, lf3s, height: int, width: int, cap: int,
+                lam_scale: float = 1.0):
     """Batched wavefront keyframes: (S, n_pix) -> ((S, buf), (S, ref))."""
     return jax.vmap(
-        lambda f, q, l: _wave_key_body(f, q, height, width, cap, l)
+        lambda f, q, l: _wave_key_body(f, q, height, width, cap, l,
+                                       lam_scale)
     )(frames0, qs, lf3s)
 
 
@@ -118,7 +121,7 @@ class SceneBatchEncoder:
         return fr[min(t, fr.shape[0] - 1)]
 
     def encode(self, key_cap: int, inter_cap: int, part: bool = True,
-               skip8_host_fn=None):
+               skip8_host_fn=None, key_lam_scale: float = 1.0):
         """Run the batch.  Returns per real scene: dict with key_buf,
         inter_bufs (L_s - 1 of them), cdef_s, and the final ref (device,
         per-scene) for PSNR.  skip8_host_fn(bitmap) -> (H/8, W/8) bool —
@@ -130,7 +133,8 @@ class SceneBatchEncoder:
         f0d = _shard(self.mesh, f0)
         bufs, refs = _scenes_key(f0d, _shard(self.mesh, qs),
                                  _shard(self.mesh, klf),
-                                 self.h, self.w, key_cap)
+                                 self.h, self.w, key_cap,
+                                 key_lam_scale)
         key_bufs = np.asarray(bufs)
 
         # keyframe CDEF: skip maps from the fetched bitmaps (host), then

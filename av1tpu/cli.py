@@ -78,7 +78,7 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                 target_quality: float = 0.0, metric: str = "tpu_vmaf",
                 partitions: bool = True, scene_threshold: float = 2.5,
                 gop: bool = True, key_q_boost: int = KEY_Q_BOOST,
-                key_lam_scale: float = 1.0, key_tf: bool = True,
+                key_lam_scale: float = 0.3, key_tf: bool = True,
                 workers: int = 1) -> tuple[list[bytes], dict]:
     """Encode a Clip into AV1 TUs.  gop=True (the production mode) codes one
     keyframe per scene and inter frames in between, matching the reference's
@@ -265,20 +265,24 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             frames = np.stack([fuse_planes(*padded(i), bit_depth=bd)
                                for i in range(s0, e0)])
             ntf = min(3, e0 - s0 - 1) if key_tf else 0
+            key_gate = 0.0
             if ntf > 0:
                 from av1tpu.models.tfilter import temporal_filter_key
                 with clock("tfilter"):
                     neigh = np.stack([frames[min(1 + j, ntf)]
                                       for j in range(3)])
-                    frames = frames.copy()
-                    frames[0] = np.asarray(temporal_filter_key(
+                    filt, sig = temporal_filter_key(
                         jax.device_put(frames[0]), jax.device_put(neigh),
-                        ch, cw, bit_depth=bd))
+                        ch, cw, bit_depth=bd)
+                    frames = frames.copy()
+                    frames[0] = np.asarray(filt)
+                    key_gate = float((3.0 * sig) ** 2)
             scenes.append({
                 "frames": frames,
                 "q": q, "key_q": key_q,
                 "key_lf": (lyk, luk, lvk),
                 "inter_lf": (ly_i, lu_i, lv_i),
+                "key_gate": key_gate,
             })
         key_kind = "wave" if partitions else "v"
         done_frames = 0
@@ -348,6 +352,7 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             # count is static (3) — short scenes pad with the key itself
             # (exact match, just deepens the average toward the key)
             key_src = fused0_dev
+            key_gate = jax.numpy.float32(0.0)
             if ntf > 0:
                 from av1tpu.models.tfilter import temporal_filter_key
                 with clock("tfilter"):
@@ -355,14 +360,18 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                         [fuse_planes(*padded(min(s0 + 1 + j, e0 - 1)),
                                      bit_depth=bd) if j < ntf else fused0
                          for j in range(3)])
-                    key_src = temporal_filter_key(
+                    key_src, key_sig = temporal_filter_key(
                         fused0_dev, jax.device_put(neigh), ch, cw,
                         bit_depth=bd)
+                    # RDOQ noise floor for the keyframe: coefficients
+                    # inside the (3 sigma)^2 band explain noise only
+                    key_gate = (3.0 * key_sig) ** 2
             # CDF carry chain: keyframe saves its end-of-frame CDFs, every
             # inter frame in the scene loads the previous frame's and saves
             # its own (primary_ref_frame = LAST)
             cdfs = packer.new_cdf_blob()
-            key_kw = ({"lam_scale": key_lam_scale} if partitions else {})
+            key_kw = ({"lam_scale": key_lam_scale, "noise_gate": key_gate}
+                      if partitions else {})
             while True:  # low-q keyframes can exceed the value capacity:
                 with clock("key_device"):
                     buf, ref = key_fn(key_src, key_q, ch, cw,
@@ -693,9 +702,11 @@ def main(argv=None) -> int:
                      help="keyframe qindex boost below the scene q "
                           "(RDO: keyframe distortion propagates through "
                           "the scene; swept on the corpus)")
-    enc.add_argument("--key-lam-scale", type=float, default=1.0,
+    enc.add_argument("--key-lam-scale", type=float, default=0.3,
                      help="keyframe RDO lambda multiplier (<1 biases the "
-                          "scene-long reference toward quality)")
+                          "scene-long reference toward quality; the RDOQ "
+                          "noise floor keeps the discount from re-"
+                          "admitting sensor noise)")
     enc.add_argument("--no-key-tf", action="store_true",
                      help="disable motion-compensated temporal filtering "
                           "of keyframes (SVT enable-tf equivalent)")

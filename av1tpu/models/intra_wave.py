@@ -184,7 +184,7 @@ def _edges_from_blocks(rec, r_i, c_i, have_a, have_l, ur_ok, base, n):
 
 @functools.partial(jax.jit, static_argnames=("bit_depth", "lam_scale"))
 def encode_intra_wave(y, u, v, qindex, bit_depth: int = 8,
-                      lam_scale: float = 1.0):
+                      lam_scale: float = 1.0, noise_gate=0.0):
     """Full-frame wavefront intra encode.  Returns level grids, recon
     planes and per-block luma modes (uv is DC_PRED everywhere).
 
@@ -245,7 +245,8 @@ def encode_intra_wave(y, u, v, qindex, bit_depth: int = 8,
         lv = quantize_coefs(coefs, stepq, cap)
         rdm = rm if rm is not None else rm8c
         lv = rd_zero(lv, coefs, q.astype(jnp.float32), lam,
-                     rdm.tabs[qctx], g16 if n == 16 else g8)
+                     rdm.tabs[qctx], g16 if n == 16 else g8,
+                     noise_gate=jnp.asarray(noise_gate, jnp.float32))
         rec = jnp.clip(pred.reshape(-1, n, n)
                        + inverse_transform((lv * q).reshape(-1, n, n),
                                            n, n, 0), 0, pix_max)
@@ -343,7 +344,8 @@ def encode_intra_wave(y, u, v, qindex, bit_depth: int = 8,
 
 
 def _wave_key_body(frame_u8, qindex, height: int, width: int,
-                   cap: int = 163840, lf3=None, lam_scale: float = 1.0):
+                   cap: int = 163840, lf3=None, lam_scale: float = 1.0,
+                   noise_gate=0.0):
     """Wavefront keyframe for a GOP: compact transport (same layout as
     intra_v's [head | bitmap | vals | modes]) + fused int32 recon kept on
     device as the inter scan's starting reference.  lf3: None or (3,)
@@ -358,7 +360,7 @@ def _wave_key_body(frame_u8, qindex, height: int, width: int,
     vv = frame_u8[ny + nc :].reshape(height // 2,
                                      width // 2).astype(jnp.int32)
     o = encode_intra_wave(yy, uu, vv, qindex, bit_depth=bit_depth,
-                          lam_scale=lam_scale)
+                          lam_scale=lam_scale, noise_gate=noise_gate)
     flat = jnp.concatenate([o["levels_y"].reshape(-1),
                             o["levels_u"].reshape(-1),
                             o["levels_v"].reshape(-1)])
@@ -394,10 +396,10 @@ def _wave_key_body(frame_u8, qindex, height: int, width: int,
                                     "lam_scale"))
 def encode_intra_wave_key_recon(frame_u8, qindex, height: int, width: int,
                                 cap: int = 163840, lf=None,
-                                lam_scale: float = 1.0):
+                                lam_scale: float = 1.0, noise_gate=0.0):
     """Jit of _wave_key_body with static lf levels (the single-device CLI
-    path)."""
+    path).  noise_gate: traced (3*sigma)^2 RDOQ noise floor (0 = off)."""
     lf3 = jnp.asarray(lf, jnp.int32) if (lf is not None and any(lf)) \
         else None
     return _wave_key_body(frame_u8, qindex, height, width, cap, lf3,
-                          lam_scale)
+                          lam_scale, noise_gate)

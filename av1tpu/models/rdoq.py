@@ -53,7 +53,7 @@ def coef_gains(n: int, tx_type: int = 0) -> np.ndarray:
     return (1.0 / (fwd * fwd).sum(axis=1)).astype(np.float32)
 
 
-def rd_zero(lv, coefs, dq_scale, lam, tab, gains):
+def rd_zero(lv, coefs, dq_scale, lam, tab, gains, noise_gate=None):
     """Zero every level whose rate exceeds its distortion value.
 
     lv: (..., m) int32 levels from the deadzone quantizer; coefs: the
@@ -75,4 +75,12 @@ def rd_zero(lv, coefs, dq_scale, lam, tab, gains):
     for k in range(1, _KEEP_ALWAYS):
         bits = bits + jnp.where(a == k, tab[k] - tab[0], 0.0)
     keep = (a >= _KEEP_ALWAYS) | (save > lam * bits) | (a == 0)
+    if noise_gate is not None:
+        # noise floor: a coefficient whose pixel-domain energy sits inside
+        # the (estimated) sensor-noise band explains noise, not content —
+        # zero it regardless of lambda (noise is useless to every frame
+        # that references this one).  noise_gate = (3 * sigma_resid)^2.
+        above_floor = ((gains * c * c > noise_gate)
+                       | (a >= _KEEP_ALWAYS) | (a == 0))
+        keep = keep & above_floor
     return jnp.where(keep, lv, 0)

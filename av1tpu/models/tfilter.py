@@ -51,6 +51,7 @@ def _tf_body(key_fused, neigh_fused, height: int, width: int,
     den_u = jnp.ones_like(num_u)
     num_v = kv.astype(jnp.float32)
     den_v = jnp.ones_like(num_v)
+    sigma1 = jnp.float32(0.0)
 
     for j in range(neigh_fused.shape[0]):
         nyp, nup, nvp = _unfuse(neigh_fused[j], height, width)
@@ -66,6 +67,11 @@ def _tf_body(key_fused, neigh_fused, height: int, width: int,
 
         sad = _block_sad(jnp.abs(ky - pred_yp), 16).astype(jnp.float32)
         med = jnp.median(sad)
+        if j == 0:
+            # per-frame sensor-noise estimate from the closest neighbor:
+            # for matched blocks mean |d|/px = E|N(0, sigma*sqrt(2))|
+            # = 1.596 * sigma
+            sigma1 = med / (256.0 * 1.596)
         # relative gate (3x the median matched-block SAD) AND an absolute
         # cap: the relative gate alone fails open when NOTHING matches
         # (mis-detected scene cut -> median is itself mismatch-sized);
@@ -92,8 +98,11 @@ def _tf_body(key_fused, neigh_fused, height: int, width: int,
     out_u = jnp.clip(jnp.round(num_u / den_u), 0, pix_max)
     out_v = jnp.clip(jnp.round(num_v / den_v), 0, pix_max)
     dt = key_fused.dtype
-    return jnp.concatenate([out_y.reshape(-1), out_u.reshape(-1),
-                            out_v.reshape(-1)]).astype(dt)
+    # residual noise of the filtered frame: averaging D matched samples
+    # divides the variance by ~D (per-pixel weights make it approximate)
+    sigma_tf = sigma1 / jnp.sqrt(jnp.maximum(jnp.mean(den_y), 1.0))
+    return (jnp.concatenate([out_y.reshape(-1), out_u.reshape(-1),
+                             out_v.reshape(-1)]).astype(dt), sigma_tf)
 
 
 @functools.partial(jax.jit,
@@ -101,8 +110,9 @@ def _tf_body(key_fused, neigh_fused, height: int, width: int,
 def temporal_filter_key(key_fused, neigh_fused, height: int, width: int,
                         bit_depth: int = 8):
     """Filter one fused keyframe against (K, n_pix) fused neighbors.
-    Returns the filtered fused frame in the source dtype.  Callers pad
-    the neighbor stack with copies of the key itself to keep one
-    compiled shape (a self-neighbor is an exact match and just deepens
-    the average toward the key)."""
+    Returns (filtered fused frame in the source dtype, estimated residual
+    noise sigma of the filtered frame — feeds the keyframe RDOQ noise
+    floor).  Callers pad the neighbor stack with copies of the key itself
+    to keep one compiled shape (a self-neighbor is an exact match and
+    just deepens the average toward the key)."""
     return _tf_body(key_fused, neigh_fused, height, width, bit_depth)

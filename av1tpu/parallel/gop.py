@@ -44,13 +44,14 @@ def _shard(mesh: Mesh, arr, batch_axes: int = 1):
 
 @functools.partial(jax.jit,
                    static_argnames=("height", "width", "cap", "lam_scale"))
-def _scenes_key(frames0, qs, lf3s, height: int, width: int, cap: int,
-                lam_scale: float = 1.0):
-    """Batched wavefront keyframes: (S, n_pix) -> ((S, buf), (S, ref))."""
+def _scenes_key(frames0, qs, lf3s, gates, height: int, width: int,
+                cap: int, lam_scale: float = 1.0):
+    """Batched wavefront keyframes: (S, n_pix) -> ((S, buf), (S, ref)).
+    gates: (S,) float32 per-scene RDOQ noise floors (0 = off)."""
     return jax.vmap(
-        lambda f, q, l: _wave_key_body(f, q, height, width, cap, l,
-                                       lam_scale)
-    )(frames0, qs, lf3s)
+        lambda f, q, l, g: _wave_key_body(f, q, height, width, cap, l,
+                                          lam_scale, g)
+    )(frames0, qs, lf3s, gates)
 
 
 @functools.partial(jax.jit,
@@ -131,8 +132,11 @@ class SceneBatchEncoder:
         qs = jnp.asarray([s["key_q"] for s in self.scenes], jnp.int32)
         klf = jnp.asarray([s["key_lf"] for s in self.scenes], jnp.int32)
         f0d = _shard(self.mesh, f0)
+        gates = jnp.asarray([s.get("key_gate", 0.0) for s in self.scenes],
+                            jnp.float32)
         bufs, refs = _scenes_key(f0d, _shard(self.mesh, qs),
                                  _shard(self.mesh, klf),
+                                 _shard(self.mesh, gates),
                                  self.h, self.w, key_cap,
                                  key_lam_scale)
         key_bufs = np.asarray(bufs)

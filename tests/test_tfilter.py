@@ -39,9 +39,11 @@ def test_denoises_matched_pan():
     clean0 = canvas[:H, :W]
     frames = [_fused(canvas[2 * t : 2 * t + H, 3 * t : 3 * t + W]
                      + rng.normal(0, 2.0, (H, W))) for t in range(4)]
-    out = np.asarray(temporal_filter_key(
+    out, sig = temporal_filter_key(
         jax.device_put(frames[0]), jnp.asarray(np.stack(frames[1:])),
-        H, W))
+        H, W)
+    out = np.asarray(out)
+    assert 0.5 < float(sig) < 3.0  # sigma=2 source, ~halved by TF
     noisy = np.asarray(frames[0][: H * W]).reshape(H, W).astype(np.float64)
     filt = out[: H * W].reshape(H, W).astype(np.float64)
     mse_noisy = float(np.mean((noisy - clean0) ** 2))
@@ -53,7 +55,7 @@ def test_self_neighbors_identity():
     rng = np.random.RandomState(2)
     key = _fused(rng.randint(0, 255, (H, W)))
     out = np.asarray(temporal_filter_key(
-        jax.device_put(key), jnp.asarray(np.stack([key] * 3)), H, W))
+        jax.device_put(key), jnp.asarray(np.stack([key] * 3)), H, W)[0])
     assert (out == np.asarray(key)).all()
 
 
@@ -67,7 +69,7 @@ def test_scene_cut_neighbor_rejected():
     key = _fused(canvas)
     other = _fused(np.random.RandomState(9).randint(0, 255, (H, W)))
     out = np.asarray(temporal_filter_key(
-        jax.device_put(key), jnp.asarray(np.stack([other] * 3)), H, W))
+        jax.device_put(key), jnp.asarray(np.stack([other] * 3)), H, W)[0])
     ky = np.asarray(key[: H * W]).astype(np.float64)
     fy = out[: H * W].astype(np.float64)
     assert float(np.mean((ky - fy) ** 2)) < 1.0

@@ -264,13 +264,13 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             ly_i, _, lu_i, lv_i = lf_levels(q)
             frames = np.stack([fuse_planes(*padded(i), bit_depth=bd)
                                for i in range(s0, e0)])
-            ntf = min(3, e0 - s0 - 1) if key_tf else 0
+            ntf = min(7, e0 - s0 - 1) if key_tf else 0
             key_gate = 0.0
             if ntf > 0:
                 from av1tpu.models.tfilter import temporal_filter_key
                 with clock("tfilter"):
                     neigh = np.stack([frames[min(1 + j, ntf)]
-                                      for j in range(3)])
+                                      for j in range(7)])
                     filt, sig = temporal_filter_key(
                         jax.device_put(frames[0]), jax.device_put(neigh),
                         ch, cw, bit_depth=bd)
@@ -335,7 +335,7 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             ly_i, _, lu_i, lv_i = lf_levels(q)
             inter_lf = (ly_i, lu_i, lv_i)
             fused0 = fuse_planes(*planes0, bit_depth=bd)
-            ntf = min(3, e0 - s0 - 1) if key_tf else 0
+            ntf = min(7, e0 - s0 - 1) if key_tf else 0
             # quality preset: wavefront full-mode intra (DC/V/H/D45/D67/
             # SMOOTH*/PAETH) — the keyframe is the whole scene's transitive
             # reference, so its quality dominates; fast preset keeps the
@@ -349,8 +349,10 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             # motion-compensated temporal filter: the keyframe is coded
             # from a denoised average of itself + following frames (the
             # reference's SVT enable-tf; decoder-invisible).  Neighbor
-            # count is static (3) — short scenes pad with the key itself
-            # (exact match, just deepens the average toward the key)
+            # count is static (7: residual noise sigma/sqrt(8) reaches
+            # the anchor's alt-ref-filter quality band) — short scenes
+            # pad with the key itself (exact match, just deepens the
+            # average toward the key)
             key_src = fused0_dev
             key_gate = jax.numpy.float32(0.0)
             if ntf > 0:
@@ -359,7 +361,7 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                     neigh = np.stack(
                         [fuse_planes(*padded(min(s0 + 1 + j, e0 - 1)),
                                      bit_depth=bd) if j < ntf else fused0
-                         for j in range(3)])
+                         for j in range(7)])
                     key_src, key_sig = temporal_filter_key(
                         fused0_dev, jax.device_put(neigh), ch, cw,
                         bit_depth=bd)

@@ -41,6 +41,8 @@ class Packer:
         fp.restype = ctypes.c_size_t
         fp.argtypes = [ctypes.POINTER(ctypes.c_uint16)] + \
                       [ctypes.POINTER(ctypes.c_int16)] * 6 + \
+                      [ctypes.c_int] + \
+                      [ctypes.POINTER(ctypes.c_int16)] + \
                       [ctypes.c_int] * 4 + \
                       [ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
                        _I32P, _I32P]
@@ -185,11 +187,16 @@ class Packer:
                              disable_cdf_update: bool = False,
                              cdf_in: np.ndarray | None = None,
                              cdf_out: np.ndarray | None = None,
-                             refs: np.ndarray | None = None) -> bytes:
+                             refs: np.ndarray | None = None,
+                             split16: np.ndarray | None = None) -> bytes:
         """Pack one partitioned inter tile (union-layout compact form from
         encode_inter_part/_gop_step_part + split maps + MV grid).  refs:
         optional per-16-block reference grid (0=LAST, 1=GOLDEN; merged
-        blocks take their top-left entry)."""
+        blocks take their top-left entry).  split16: optional per-16-block
+        map; nonzero blocks split into four 8x8 sub-blocks whose levels
+        live in the parent slot's quadrants.  The MV grid granularity is
+        inferred from mv.shape: (h/16, w/16, 2) = per-16-block, (h/8, w/8,
+        2) = per-8-block (required when split16 is given)."""
         i16p = ctypes.POINTER(ctypes.c_int16)
         bm = np.ascontiguousarray(bitmap, np.uint16)
         vv = np.ascontiguousarray(vals, np.int16)
@@ -198,8 +205,16 @@ class Packer:
         s64 = np.ascontiguousarray(np.asarray(split64).reshape(-1),
                                    np.int16)
         mv = np.asarray(mv)
+        mv_per8 = int(mv.shape[0] == height // 8)
+        if split16 is not None and not mv_per8:
+            raise ValueError("split16 needs a per-8-block MV grid")
         mvr = np.ascontiguousarray(mv[..., 0].reshape(-1), np.int16)
         mvc = np.ascontiguousarray(mv[..., 1].reshape(-1), np.int16)
+        s16p = i16p()
+        if split16 is not None:
+            s16 = np.ascontiguousarray(np.asarray(split16).reshape(-1),
+                                       np.int16)
+            s16p = s16.ctypes.data_as(i16p)
         rfp = None
         if refs is not None:
             rf = np.ascontiguousarray(np.asarray(refs).reshape(-1),
@@ -208,9 +223,10 @@ class Packer:
         cap = height * width * 8 + 65536
         out = (ctypes.c_uint8 * cap)()
         n = self._fnp(bm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
-                      vv.ctypes.data_as(i16p), s32.ctypes.data_as(i16p),
+                      vv.ctypes.data_as(i16p), s16p,
+                      s32.ctypes.data_as(i16p),
                       s64.ctypes.data_as(i16p), mvr.ctypes.data_as(i16p),
-                      mvc.ctypes.data_as(i16p), rfp,
+                      mvc.ctypes.data_as(i16p), mv_per8, rfp,
                       height // 4, width // 4, qindex,
                       int(disable_cdf_update), out, cap,
                       *self._cdf_ptrs(cdf_in, cdf_out))

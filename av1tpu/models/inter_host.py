@@ -81,41 +81,55 @@ class InterReplayPlanner(FixedPartitionPlanner):
 
 class InterPartReplayPlanner(Planner):
     """Replays the partitioned TPU inter decisions
-    (models/inter_v.py encode_inter_part) through the spec engine."""
+    (models/inter_v.py encode_inter_part) through the spec engine.
+
+    Optional 8x8 leaves: out may carry "split16" (r16, c16) nonzero where a
+    16x16 block splits into four 8x8 sub-blocks, with "mv8" (r8, c8, 2) the
+    per-8-block MV grid (1/8-pel), "lv8y" (r8, c8, 8, 8) luma TX_8X8
+    levels, and "lu4"/"lv4" (r8, c8, 4, 4) chroma TX_4X4 levels."""
 
     def __init__(self, out: dict):
         self.o = {k: np.asarray(v) for k, v in out.items()}
 
     def partition_choice(self, tc, r, c, bsize):
-        from av1tpu.spec.enums import BLOCK_32X32
+        from av1tpu.spec.enums import BLOCK_16X16, BLOCK_32X32
         if bsize > BLOCK_32X32:
             return (PARTITION_SPLIT if self.o["split64"][r // 16, c // 16]
                     else PARTITION_NONE)
         if bsize == BLOCK_32X32:
             return (PARTITION_SPLIT if self.o["split32"][r // 8, c // 8]
                     else PARTITION_NONE)
+        if bsize == BLOCK_16X16 and "split16" in self.o:
+            return (PARTITION_SPLIT if self.o["split16"][r // 4, c // 4]
+                    else PARTITION_NONE)
         return PARTITION_NONE
 
     def inter_block(self, tc, r, c, bsize, stack):
-        mv = tuple(int(x) for x in self.o["mv"][r // 4, c // 4])
+        from av1tpu.spec.enums import BLOCK_8X8
+        if bsize == BLOCK_8X8:
+            mv = tuple(int(x) for x in self.o["mv8"][r // 2, c // 2])
+        else:
+            mv = tuple(int(x) for x in self.o["mv"][r // 4, c // 4])
         ref, stack, mode, idx = _replay_ref(self.o, tc, r, c, bsize,
                                             stack, mv)
         return {"is_inter": True, "mode": mode, "mv": mv, "ref": ref,
                 "ref_mv_idx": idx, "stack": stack}
 
     def quantize(self, tc, coefs_f, plane, tx, dc_q, ac_q, shift, x=0, y=0):
+        n = coefs_f.shape[0]
         if plane == 0:
-            grid, n = {0: ("lv16", 16), 1: ("lv32", 32),
-                       2: ("lv64", 64)}[shift]
+            grid = {8: "lv8y", 16: "lv16", 32: "lv32", 64: "lv64"}[n]
+            if n == 64:
+                grid, n = "lv64", 64
         else:
-            n = coefs_f.shape[0]
-            grid = {(1, 8): "lu8", (2, 8): "lv8", (1, 16): "lu16",
+            grid = {(1, 4): "lu4", (2, 4): "lv4",
+                    (1, 8): "lu8", (2, 8): "lv8", (1, 16): "lu16",
                     (2, 16): "lv16c", (1, 32): "lu32",
                     (2, 32): "lv32c"}[(plane, n)]
         lv = self.o[grid][y // n, x // n].astype(np.int64)
         if n == 64:  # coded 32x32 area scattered back into the 64x64 grid
             full = np.zeros((64, 64), np.int64)
-            full[:32, :32] = lv
+            full[:32, :32] = lv[:32, :32] if lv.shape[0] == 64 else lv
             return full
         return lv
 

@@ -185,7 +185,7 @@ struct Tile {
     Cdf ext_tx2[4][13];
     Cdf skip[3];
     Cdf txb_skip[5][13];
-    Cdf eob_pt256[2][2], eob_pt64[2][2], eob_pt1024[2][2];
+    Cdf eob_pt256[2][2], eob_pt64[2][2], eob_pt1024[2][2], eob_pt16[2][2];
     Cdf eob_extra[5][2][9];
     Cdf base_eob[5][2][4];
     Cdf base[5][2][42];
@@ -201,7 +201,9 @@ struct Tile {
         mi_rows = rows;
         mi_cols = cols;
         qctx = q <= 20 ? 0 : q <= 60 ? 1 : q <= 120 ? 2 : 3;
-        for (int i = 0; i < 20; i++) partition[i].init(&tab_partition[i][0], 10);
+        // 8x8 contexts (0..3) are 4-symbol cdfs (NONE/H/V/SPLIT only)
+        for (int i = 0; i < 20; i++)
+            partition[i].init(&tab_partition[i][0], i < 4 ? 4 : 10);
         for (int i = 0; i < 5; i++)
             for (int j = 0; j < 5; j++) kf_y[i][j].init(&tab_kf_y_mode[i][j][0], 13);
         for (int i = 0; i < 2; i++)
@@ -217,6 +219,7 @@ struct Tile {
                 eob_pt256[p][c2].init(&tab_eob_pt_256[qctx][p][c2][0], 9);
                 eob_pt64[p][c2].init(&tab_eob_pt_64[qctx][p][c2][0], 7);
                 eob_pt1024[p][c2].init(&tab_eob_pt_1024[qctx][p][c2][0], 11);
+                eob_pt16[p][c2].init(&tab_eob_pt_16[qctx][p][c2][0], 5);
             }
         for (int t = 0; t < 5; t++)
             for (int p = 0; p < 2; p++) {
@@ -327,6 +330,7 @@ static void visit_cdfs(Tile &T, F f) {
     for (auto &row : T.eob_pt256) for (auto &c : row) f(c);
     for (auto &row : T.eob_pt64) for (auto &c : row) f(c);
     for (auto &row : T.eob_pt1024) for (auto &c : row) f(c);
+    for (auto &row : T.eob_pt16) for (auto &c : row) f(c);
     for (auto &a : T.eob_extra) for (auto &row : a) for (auto &c : row) f(c);
     for (auto &a : T.base_eob) for (auto &row : a) for (auto &c : row) f(c);
     for (auto &a : T.base) for (auto &row : a) for (auto &c : row) f(c);
@@ -390,14 +394,16 @@ static int compute_eob(const int32_t *lv, const int32_t *scan, int ncoef) {
 static void code_coeffs(Tile &T, int plane, int x, int y, int n,
                         const int32_t *lv, int tx_type_sym, int y_mode,
                         int n_ctx = 0, bool is_inter = false) {
-    // n = coded dim (8/16/32); n_ctx = tx dim (== n except TX_64X64 luma,
-    // where the tx is 64 but only the top-left 32x32 is coded)
+    // n = coded dim (4/8/16/32); n_ctx = tx dim (== n except TX_64X64
+    // luma, where the tx is 64 but only the top-left 32x32 is coded)
     if (!n_ctx) n_ctx = n;
-    int txs = n_ctx == 64 ? 4 : (n == 32 ? 3 : (n == 16 ? 2 : 1));
+    int txs = n_ctx == 64 ? 4
+             : (n == 32 ? 3 : (n == 16 ? 2 : (n == 8 ? 1 : 0)));
     int ptype = plane ? 1 : 0;
     int x4 = x >> 2, y4 = y >> 2, w4 = n_ctx >> 2;
     const int32_t *scan = n == 32 ? &scan_32_32[0]
-                         : (n == 16 ? &scan_16_16[0] : &scan_8_8[0]);
+                         : (n == 16 ? &scan_16_16[0]
+                            : (n == 8 ? &scan_8_8[0] : &scan_4_4[0]));
     int ncoef = n * n;
 
     // txb_skip ctx: block size == tx size -> 0 for luma; 7+a+l chroma
@@ -424,9 +430,9 @@ static void code_coeffs(Tile &T, int plane, int x, int y, int n,
     }
     if (plane == 0 && is_inter && n_ctx != 64) {
         // inter tx set 3 (reduced): {IDTX, DCT_DCT}; DCT index 1, cdf by
-        // TX_SIZE_SQR (16 -> 2, 32 -> 3); TX_64X64 is set 0 (no symbol)
-        // (av1tpu/spec/tile.py _code_tx_type_inter, enums.get_tx_set_inter)
-        T.co.sym(T.inter_tx3_c[n == 32 ? 3 : 2], 1);
+        // TX_SIZE_SQR (8 -> 1, 16 -> 2, 32 -> 3); TX_64X64 is set 0 (no
+        // symbol) (av1tpu/spec/tile.py _code_tx_type_inter)
+        T.co.sym(T.inter_tx3_c[n == 32 ? 3 : (n == 16 ? 2 : 1)], 1);
     } else if (plane == 0 && !is_inter && n == 16 && n_ctx == 16) {
         // tx type, intra set 2 (16x16), cdf indexed by [tx_sqr][y mode];
         // 32x32 is tx-set 0 (DCT only), chroma types are derived
@@ -436,7 +442,8 @@ static void code_coeffs(Tile &T, int plane, int x, int y, int n,
     // tables store it second — see av1tpu/spec/tile.py is_1d_ctx)
     int eob_pt = eob <= 2 ? eob : (32 - __builtin_clz(eob - 1)) + 1;
     Cdf &ptcdf = n == 32 ? T.eob_pt1024[ptype][0]
-                : (n == 16 ? T.eob_pt256[ptype][1] : T.eob_pt64[ptype][1]);
+                : (n == 16 ? T.eob_pt256[ptype][1]
+                   : (n == 8 ? T.eob_pt64[ptype][1] : T.eob_pt16[ptype][1]));
     T.co.sym(ptcdf, eob_pt - 1);
     if (eob_pt > 2) {
         int ne = eob_pt - 2;
@@ -608,6 +615,7 @@ struct GridsPart {
     const int16_t *modes32 = nullptr;  // (brows32 x bcols32)
     const int16_t *split = nullptr;    // (brows32 x bcols32), nonzero = split
     const int16_t *split64 = nullptr;  // (brows64 x bcols64)
+    const int16_t *split16 = nullptr;  // (brows x bcols), nonzero = 4x 8x8
     int bcols = 0, brows = 0;          // 16px block grid
     int bcols32 = 0, brows32 = 0;
     int bcols64 = 0, brows64 = 0;
@@ -616,6 +624,7 @@ struct GridsPart {
     int32_t sy[256], su[64], sv[64];
     int32_t sy32[1024], su16[256], sv16[256];
     int32_t su32[1024], sv32[1024];
+    int32_t sy8[64], su4[16], sv4[16];
     bool zy, zu, zv;
 
     // union layout: three sections only (y16 | u8 | v8); 32x32 / chroma-16
@@ -664,6 +673,37 @@ struct GridsPart {
         zy = !expand_sect(0, b, 16, sy);
         zu = !expand_sect(1, b, 4, su);
         zv = !expand_sect(2, b, 4, sv);
+    }
+    void load8(int by8, int bx8) {
+        // split-16 union layout: the four 8x8 luma sub-blocks occupy the
+        // parent 16-slot's raster quadrants; chroma 4x4s the 8-slot's
+        int32_t tmp[256];
+        int b = (by8 >> 1) * bcols + (bx8 >> 1);
+        int qr = by8 & 1, qc = bx8 & 1;
+        expand_sect(0, b, 16, tmp);
+        zy = true;
+        for (int i = 0; i < 8; i++)
+            for (int j = 0; j < 8; j++) {
+                int32_t v2 = tmp[(qr * 8 + i) * 16 + qc * 8 + j];
+                sy8[i * 8 + j] = v2;
+                if (v2) zy = false;
+            }
+        expand_sect(1, b, 4, tmp);
+        zu = true;
+        for (int i = 0; i < 4; i++)
+            for (int j = 0; j < 4; j++) {
+                int32_t v2 = tmp[(qr * 4 + i) * 8 + qc * 4 + j];
+                su4[i * 4 + j] = v2;
+                if (v2) zu = false;
+            }
+        expand_sect(2, b, 4, tmp);
+        zv = true;
+        for (int i = 0; i < 4; i++)
+            for (int j = 0; j < 4; j++) {
+                int32_t v2 = tmp[(qr * 4 + i) * 8 + qc * 4 + j];
+                sv4[i * 4 + j] = v2;
+                if (v2) zv = false;
+            }
     }
     void load64(int by64, int bx64) {
         // luma: coded 32x32 = 2x2 quadrants in the SB's top-left 16-slots;
@@ -1143,16 +1183,22 @@ enum { M_NEARESTMV = 0, M_NEARMV = 1, M_GLOBALMV = 2, M_NEWMV = 3 };
 // header + residual syntax for one inter block of luma size n (16/32/64);
 // levels pointers already expanded (ly: coded luma area, lu/lv: chroma)
 static void code_block_inter_common(Tile &T, const int16_t *mv_rows,
-                                    const int16_t *mv_cols, int bcols16,
+                                    const int16_t *mv_cols, int mv_cols_n,
+                                    int mv_shift,
                                     int r, int c, int n, const int32_t *ly,
                                     const int32_t *lu, const int32_t *lvp,
                                     bool zy, bool zu, bool zv) {
-    size_t b = (size_t)(r / 4) * bcols16 + (c / 4);
+    // MV grid granularity: mv_shift=2 -> per-16-block grid (the uniform
+    // path), mv_shift=1 -> per-8-block grid (split-16 transport); larger
+    // blocks read their top-left entry either way
+    size_t b = (size_t)(r >> mv_shift) * mv_cols_n + (c >> mv_shift);
     int mvv[2] = {mv_rows[b], mv_cols[b]};
     int mi = n / 4;
     // block reference: per-16-block grid (merged 32/64 blocks take their
-    // top-left entry; the merge RDO only merges equal-ref blocks)
-    int refv = (T.ref_grid && T.ref_grid[b]) ? 4 : 1;   // LAST=1 GOLDEN=4
+    // top-left entry; the merge RDO only merges equal-ref blocks; 8x8
+    // sub-blocks inherit the parent 16's reference)
+    size_t b16 = (size_t)(r / 4) * (T.mi_cols / 4) + (c / 4);
+    int refv = (T.ref_grid && T.ref_grid[b16]) ? 4 : 1;  // LAST=1 GOLDEN=4
 
     MvStack st;
     build_mv_stack(T, r, c, mi, st, refv);
@@ -1250,14 +1296,14 @@ static void code_block_inter_common(Tile &T, const int16_t *mv_rows,
             }
         }
     }
-    int lg = n == 64 ? 4 : (n == 32 ? 3 : 2);
+    int lg = n == 64 ? 4 : (n == 32 ? 3 : (n == 16 ? 2 : 1));
     T.update_part_ctx(r, c, mi, mi, lg, lg);
 }
 
 static void code_block_inter(Tile &T, Grids &G, const int16_t *mv_rows,
                              const int16_t *mv_cols, int r, int c) {
     G.load(r / 4, c / 4);
-    code_block_inter_common(T, mv_rows, mv_cols, G.bcols, r, c, 16,
+    code_block_inter_common(T, mv_rows, mv_cols, G.bcols, 2, r, c, 16,
                             G.sy, G.su, G.sv, G.zy, G.zu, G.zv);
 }
 
@@ -1280,22 +1326,25 @@ static void code_partition_inter(Tile &T, Grids &G, const int16_t *mv_rows,
                          bsl - 1);
 }
 
-// partitioned inter: split maps choose NONE at 64/32, leaves at 16
+// partitioned inter: split maps choose NONE at 64/32, leaves at 16 or
+// (with a split16 map) 8x8 quads with per-8-block MVs
 // (av1tpu/models/inter_v.py encode_inter_part; union layout per GridsPart)
 static void code_partition_inter_part(Tile &T, GridsPart &G,
                                       const int16_t *mv_rows,
-                                      const int16_t *mv_cols,
+                                      const int16_t *mv_cols, int mv_shift,
                                       const int16_t *split32,
                                       const int16_t *split64,
                                       int r, int c, int bsl) {
     if (r >= T.mi_rows || c >= T.mi_cols) return;
+    int mvc = mv_shift == 1 ? G.bcols * 2 : G.bcols;
     int ctx = (bsl - 1) * 4 + T.part_ctx(r, c, bsl);
     if (bsl == 4) {
         int by64 = r / 16, bx64 = c / 16;
         if (!split64[(size_t)by64 * G.bcols64 + bx64]) {
             T.co.sym(T.partition[ctx], 0);  // NONE -> one 64x64 block
             G.load64(by64, bx64);
-            code_block_inter_common(T, mv_rows, mv_cols, G.bcols, r, c, 64,
+            code_block_inter_common(T, mv_rows, mv_cols, mvc, mv_shift,
+                                    r, c, 64,
                                     G.sy32, G.su32, G.sv32, G.zy, G.zu,
                                     G.zv);
             return;
@@ -1306,29 +1355,40 @@ static void code_partition_inter_part(Tile &T, GridsPart &G,
         if (!split32[(size_t)by32 * G.bcols32 + bx32]) {
             T.co.sym(T.partition[ctx], 0);  // NONE -> one 32x32 block
             G.load32(by32, bx32);
-            code_block_inter_common(T, mv_rows, mv_cols, G.bcols, r, c, 32,
+            code_block_inter_common(T, mv_rows, mv_cols, mvc, mv_shift,
+                                    r, c, 32,
                                     G.sy32, G.su16, G.sv16, G.zy, G.zu,
                                     G.zv);
             return;
         }
     }
-    if (bsl == 2) {
+    if (bsl == 2
+        && !(G.split16 && G.split16[(size_t)(r / 4) * G.bcols + c / 4])) {
         T.co.sym(T.partition[ctx], 0);      // NONE
         G.load16(r / 4, c / 4);
-        code_block_inter_common(T, mv_rows, mv_cols, G.bcols, r, c, 16,
+        code_block_inter_common(T, mv_rows, mv_cols, mvc, mv_shift,
+                                r, c, 16,
                                 G.sy, G.su, G.sv, G.zy, G.zu, G.zv);
+        return;
+    }
+    if (bsl == 1) {
+        T.co.sym(T.partition[ctx], 0);      // NONE (4-symbol 8x8 cdf)
+        G.load8(r / 2, c / 2);
+        code_block_inter_common(T, mv_rows, mv_cols, mvc, mv_shift,
+                                r, c, 8,
+                                G.sy8, G.su4, G.sv4, G.zy, G.zu, G.zv);
         return;
     }
     T.co.sym(T.partition[ctx], 3);          // SPLIT
     int half = 1 << (bsl - 1);
-    code_partition_inter_part(T, G, mv_rows, mv_cols, split32, split64,
-                              r, c, bsl - 1);
-    code_partition_inter_part(T, G, mv_rows, mv_cols, split32, split64,
-                              r, c + half, bsl - 1);
-    code_partition_inter_part(T, G, mv_rows, mv_cols, split32, split64,
-                              r + half, c, bsl - 1);
-    code_partition_inter_part(T, G, mv_rows, mv_cols, split32, split64,
-                              r + half, c + half, bsl - 1);
+    code_partition_inter_part(T, G, mv_rows, mv_cols, mv_shift, split32,
+                              split64, r, c, bsl - 1);
+    code_partition_inter_part(T, G, mv_rows, mv_cols, mv_shift, split32,
+                              split64, r, c + half, bsl - 1);
+    code_partition_inter_part(T, G, mv_rows, mv_cols, mv_shift, split32,
+                              split64, r + half, c, bsl - 1);
+    code_partition_inter_part(T, G, mv_rows, mv_cols, mv_shift, split32,
+                              split64, r + half, c + half, bsl - 1);
 }
 
 }  // namespace
@@ -1425,12 +1485,16 @@ size_t pack_tile_inter(const uint16_t *bitmap, const int16_t *vals,
 }
 
 // partitioned inter tile: union-layout levels (y16 | u8 | v8 with 32/64
-// winners in their regions' slots, see av1tpu/models/inter_v.py
-// _gop_step_part) + split maps + per-16-block MV grids
+// winners in their regions' slots and split-16 8x8 quads in their parent
+// slot's quadrants, see av1tpu/models/inter_v.py _gop_step_part) + split
+// maps + MV grids.  split16 may be null (no 8x8 leaves).  mv_per8: 1 ->
+// mv grids are per-8-block (mi_cols/2 wide; required when split16 is
+// given), 0 -> per-16-block (legacy transport).
 size_t pack_tile_inter_part(const uint16_t *bitmap, const int16_t *vals,
+                            const int16_t *split16,
                             const int16_t *split32, const int16_t *split64,
                             const int16_t *mv_rows, const int16_t *mv_cols,
-                            const int16_t *refs,
+                            int mv_per8, const int16_t *refs,
                             int mi_rows, int mi_cols, int qindex,
                             int disable_update, uint8_t *out, size_t cap,
                             const int32_t *cdf_in, int32_t *cdf_out) {
@@ -1442,14 +1506,16 @@ size_t pack_tile_inter_part(const uint16_t *bitmap, const int16_t *vals,
     T.co.update = !disable_update;
     GridsPart G;
     G.bitmap = bitmap; G.vals = vals;
+    G.split16 = split16;
     G.bcols = mi_cols / 4; G.brows = mi_rows / 4;
     G.bcols32 = mi_cols / 8; G.brows32 = mi_rows / 8;
     G.bcols64 = mi_cols / 16; G.brows64 = mi_rows / 16;
     G.build_offsets();
+    int mv_shift = mv_per8 ? 1 : 2;
     for (int r = 0; r < mi_rows; r += 16)
         for (int c = 0; c < mi_cols; c += 16)
-            code_partition_inter_part(T, G, mv_rows, mv_cols, split32,
-                                      split64, r, c, 4);
+            code_partition_inter_part(T, G, mv_rows, mv_cols, mv_shift,
+                                      split32, split64, r, c, 4);
     size_t n = T.co.ec.done(out, cap);
     tile_cdf_io(T, nullptr, cdf_out, true);
     return n;

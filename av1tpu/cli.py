@@ -226,13 +226,13 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
     def pack_inter_tile(buf, q, cdfs_c, cdef_s):
         """Split + pack one inter frame's compact buffer into a TU."""
         if partitions:
-            (count, bm, vals, s32, s64,
+            (count, bm, vals, s16, s32, s64,
              mv) = split_compact_inter_part(buf, ch, cw)
             if count > len(vals):
                 raise _CapacityExceeded(count)
             tile = packer.pack_tile_inter_part(
                 bm, vals, s32, s64, mv, ch, cw, q,
-                cdf_in=cdfs_c, cdf_out=cdfs_c)
+                cdf_in=cdfs_c, cdf_out=cdfs_c, split16=s16)
         else:
             count, bm, vals, mv = split_compact_inter(buf, ch, cw)
             if count > len(vals):
@@ -452,13 +452,14 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                             with clock("inter_fetch"):
                                 buf = np.asarray(bufs[i])
                             if partitions:
-                                (count, bm, vals, s32, s64,
+                                (count, bm, vals, s16, s32, s64,
                                  mv) = split_compact_inter_part(buf, ch, cw)
                                 if count > len(vals):
                                     raise _CapacityExceeded(count)
                                 tile = packer.pack_tile_inter_part(
                                     bm, vals, s32, s64, mv, ch, cw, q,
-                                    cdf_in=cdfs_c, cdf_out=cdfs_c)
+                                    cdf_in=cdfs_c, cdf_out=cdfs_c,
+                                    split16=s16)
                             else:
                                 count, bm, vals, mv = split_compact_inter(
                                     buf, ch, cw)

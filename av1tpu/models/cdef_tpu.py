@@ -265,6 +265,19 @@ def skip8_of(skip16):
     return jnp.repeat(jnp.repeat(skip16, 2, 0), 2, 1)
 
 
+def skip8_split(skip16, split16, y16, u8, v8):
+    """Per-8x8-unit skip when 16-blocks may split into 8x8 sub-blocks:
+    each sub-block carries its own coded skip flag (= its quadrant of the
+    union level slots is all-zero, matching the packer's
+    GridsPart::load8 rule), while unsplit blocks keep the block flag."""
+    r16, c16 = skip16.shape
+    q = lambda a, n: (a.reshape(r16, c16, 2, n, 2, n) == 0).all(
+        axis=(3, 5)).transpose(0, 2, 1, 3).reshape(2 * r16, 2 * c16)
+    s8sub = q(y16, 8) & q(u8, 4) & q(v8, 4)
+    rep2 = lambda a: jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
+    return jnp.where(rep2(split16.astype(bool)), s8sub, skip8_of(skip16))
+
+
 def skip8_host(bitmap: np.ndarray, height: int, width: int,
                split32=None, split64=None) -> np.ndarray:
     """Host-side skip8 from a compact significance bitmap (the per-slot

@@ -65,10 +65,12 @@ def _r2(x, n):
     return (x + (1 << (n - 1))) >> n
 
 
-def _filter_luma_lines(win, limit, blimit, thresh, bd):
+def _filter_luma_lines(win, limit, blimit, thresh, bd, allow14=None):
     """win: (..., 14) int32 samples [p6..p0, q0..q6] per line.  Returns the
     12 modified samples (..., 12) = [p5..p0, q0..q5] after the 14/8/4-tap
-    selection chain (spec 7.14.6)."""
+    selection chain (spec 7.14.6).  allow14: per-line bool — False caps
+    the filter at 8 taps (spec: filter size = min of the tx dims across
+    the edge; an adjacent 8x8 tx caps a 16-px edge at 8)."""
     F = 1 << (bd - 8)
     mx = (1 << bd) - 1
     s = [win[..., k] for k in range(14)]
@@ -112,6 +114,8 @@ def _filter_luma_lines(win, limit, blimit, thresh, bd):
              & (jnp.abs(p5 - p0) <= F) & (jnp.abs(q5 - q0) <= F)
              & (jnp.abs(p6 - p0) <= F) & (jnp.abs(q6 - q0) <= F))
     m14 = m8 & flat2
+    if allow14 is not None:
+        m14 = m14 & allow14
     w5p = _r2(p6 * 7 + p5 * 2 + p4 * 2 + p3 + p2 + p1 + p0 + q0, 4)
     w4p = _r2(p6 * 5 + p5 * 2 + p4 * 2 + p3 * 2 + p2 + p1 + p0 + q0 + q1,
               4)
@@ -158,18 +162,25 @@ def _filter_luma_lines(win, limit, blimit, thresh, bd):
     return jnp.stack(out, axis=-1)
 
 
-def _filter_chroma_lines(win, limit, blimit, thresh, bd):
+def _filter_chroma_lines(win, limit, blimit, thresh, bd, allow6=None):
     """win: (..., 6) [p2..p0, q0..q2].  Returns (..., 4) [p1, p0, q0, q1]
-    after the 6/4-tap chain."""
+    after the 6/4-tap chain.  allow6: per-line bool — False caps the
+    filter at 4 taps (an adjacent 4x4 chroma tx), which also drops the
+    p2/q2 terms from the filter mask (spec 7.14.6.2: the mask is built
+    from the samples the chosen filter size reads)."""
     F = 1 << (bd - 8)
     mx = (1 << bd) - 1
     p2, p1, p0, q0, q1, q2 = [win[..., k] for k in range(6)]
     fm = ((jnp.abs(p1 - p0) <= limit * F)
           & (jnp.abs(q1 - q0) <= limit * F)
           & (jnp.abs(p0 - q0) * 2 + (jnp.abs(p1 - q1) >> 1)
-             <= blimit * F)
-          & (jnp.abs(p2 - p1) <= limit * F)
-          & (jnp.abs(q2 - q1) <= limit * F))
+             <= blimit * F))
+    fm6 = (fm & (jnp.abs(p2 - p1) <= limit * F)
+           & (jnp.abs(q2 - q1) <= limit * F))
+    if allow6 is None:
+        fm = fm6
+    else:
+        fm = jnp.where(allow6, fm6, fm)
     hev = ((jnp.abs(p1 - p0) > thresh * F)
            | (jnp.abs(q1 - q0) > thresh * F))
     lo_c, hi_c = -128 * F, 128 * F - 1
@@ -187,6 +198,8 @@ def _filter_chroma_lines(win, limit, blimit, thresh, bd):
     flat = ((jnp.abs(p1 - p0) <= F) & (jnp.abs(q1 - q0) <= F)
             & (jnp.abs(p2 - p0) <= F) & (jnp.abs(q2 - q0) <= F))
     m6 = fm & flat
+    if allow6 is not None:
+        m6 = m6 & allow6
     o_p1 = _r2(p2 * 3 + p1 * 2 + p0 * 2 + q0, 3)
     o_p0 = _r2(p2 + p1 * 2 + p0 * 2 + q0 * 2 + q1, 3)
     o_q0 = _r2(p1 + p0 * 2 + q0 * 2 + q1 * 2 + q2, 3)
@@ -200,10 +213,120 @@ def _filter_chroma_lines(win, limit, blimit, thresh, bd):
                      axis=-1)
 
 
+def _filter_luma8_lines(win, limit, blimit, thresh, bd):
+    """win: (..., 8) [p3..p0, q0..q3] per line — the 8/4-tap chain for
+    edges whose filter size is capped at 8 (both sides 8x8 tx: the
+    interior edge of a split-16 block).  Returns (..., 6) [p2..q2]."""
+    F = 1 << (bd - 8)
+    mx = (1 << bd) - 1
+    p3, p2, p1, p0, q0, q1, q2, q3 = [win[..., k] for k in range(8)]
+    fm = ((jnp.abs(p1 - p0) <= limit * F)
+          & (jnp.abs(q1 - q0) <= limit * F)
+          & (jnp.abs(p0 - q0) * 2 + (jnp.abs(p1 - q1) >> 1)
+             <= blimit * F)
+          & (jnp.abs(p2 - p1) <= limit * F)
+          & (jnp.abs(q2 - q1) <= limit * F)
+          & (jnp.abs(p3 - p2) <= limit * F)
+          & (jnp.abs(q3 - q2) <= limit * F))
+    hev = ((jnp.abs(p1 - p0) > thresh * F)
+           | (jnp.abs(q1 - q0) > thresh * F))
+    lo_c, hi_c = -128 * F, 128 * F - 1
+    clip = lambda x: jnp.clip(x, lo_c, hi_c)
+    fil = jnp.where(hev, clip(p1 - q1), 0)
+    fil = clip(fil + 3 * (q0 - p0))
+    f1 = clip(fil + 4) >> 3
+    f2 = clip(fil + 3) >> 3
+    n_q0 = jnp.clip(q0 - f1, 0, mx)
+    n_p0 = jnp.clip(p0 + f2, 0, mx)
+    f3 = _r2(f1, 1)
+    n_q1 = jnp.where(hev, q1, jnp.clip(q1 - f3, 0, mx))
+    n_p1 = jnp.where(hev, p1, jnp.clip(p1 + f3, 0, mx))
+    flat = ((jnp.abs(p1 - p0) <= F) & (jnp.abs(q1 - q0) <= F)
+            & (jnp.abs(p2 - p0) <= F) & (jnp.abs(q2 - q0) <= F)
+            & (jnp.abs(p3 - p0) <= F) & (jnp.abs(q3 - q0) <= F))
+    m8 = fm & flat
+    o3p = _r2(p3 * 3 + p2 * 2 + p1 + p0 + q0, 3)
+    o2p = _r2(p3 * 2 + p2 + p1 * 2 + p0 + q0 + q1, 3)
+    o1p = _r2(p3 + p2 + p1 + p0 * 2 + q0 + q1 + q2, 3)
+    o1q = _r2(p2 + p1 + p0 + q0 * 2 + q1 + q2 + q3, 3)
+    o2q = _r2(p1 + p0 + q0 + q1 * 2 + q2 + q3 * 2, 3)
+    o3q = _r2(p0 + q0 + q1 + q2 * 2 + q3 * 3, 3)
+
+    def pick(eight, narrow, orig):
+        return jnp.where(m8, eight, jnp.where(fm, narrow, orig))
+
+    return jnp.stack([
+        pick(o3p, p2, p2), pick(o2p, n_p1, p1), pick(o1p, n_p0, p0),
+        pick(o1q, n_q0, q0), pick(o2q, n_q1, q1), pick(o3q, q2, q2),
+    ], axis=-1)
+
+
+def _filter_chroma4_lines(win, limit, blimit, thresh, bd):
+    """win: (..., 4) [p1, p0, q0, q1] — the 4-tap chroma chain (both
+    sides 4x4 tx: the interior edge of a split block's chroma).  Returns
+    (..., 4) modified [p1, p0, q0, q1]."""
+    F = 1 << (bd - 8)
+    mx = (1 << bd) - 1
+    p1, p0, q0, q1 = [win[..., k] for k in range(4)]
+    fm = ((jnp.abs(p1 - p0) <= limit * F)
+          & (jnp.abs(q1 - q0) <= limit * F)
+          & (jnp.abs(p0 - q0) * 2 + (jnp.abs(p1 - q1) >> 1)
+             <= blimit * F))
+    hev = ((jnp.abs(p1 - p0) > thresh * F)
+           | (jnp.abs(q1 - q0) > thresh * F))
+    lo_c, hi_c = -128 * F, 128 * F - 1
+    clip = lambda x: jnp.clip(x, lo_c, hi_c)
+    fil = jnp.where(hev, clip(p1 - q1), 0)
+    fil = clip(fil + 3 * (q0 - p0))
+    f1 = clip(fil + 4) >> 3
+    f2 = clip(fil + 3) >> 3
+    n_q0 = jnp.clip(q0 - f1, 0, mx)
+    n_p0 = jnp.clip(p0 + f2, 0, mx)
+    f3 = _r2(f1, 1)
+    n_q1 = jnp.where(hev, q1, jnp.clip(q1 - f3, 0, mx))
+    n_p1 = jnp.where(hev, p1, jnp.clip(p1 + f3, 0, mx))
+    sel = lambda new, old: jnp.where(fm, new, old)
+    return jnp.stack([sel(n_p1, p1), sel(n_p0, p0), sel(n_q0, q0),
+                      sel(n_q1, q1)], axis=-1)
+
+
+def _deblock_interior_v(plane, stride: int, off: int, taps: int, mod: int,
+                        edge_on, filt):
+    """Interior-edge vertical pass: one edge per stride-px block column at
+    x = off + stride*j.  The modified region (+-mod) stays inside the
+    block, so the stitch is a static concatenate.  edge_on:
+    (H, w//stride) per-line enables; filt(win (..., 2*taps)) -> (...,
+    2*mod).
+
+    The stitch deliberately avoids `.at[...].set` on the reshaped block
+    view: XLA:CPU (jax 0.9.0) miscompiles that scatter when the pass
+    output has multiple consumers in one fused graph (the filter's
+    select chain silently picks the wrong branch on a handful of lanes —
+    observed as 4-pixel recon divergence vs the op-by-op result).
+    Concatenate lowers to pure slices and is immune."""
+    h, w = plane.shape
+    ne = w // stride
+    cols = []
+    for k in range(-taps, taps):
+        cols.append(jax.lax.slice(
+            plane, (0, off + k), (h, off + k + (ne - 1) * stride + 1),
+            (1, stride)))
+    win = jnp.stack(cols, axis=-1)
+    out = filt(win)
+    sel = jnp.where(edge_on[..., None], out,
+                    win[..., taps - mod : taps + mod])
+    blocks = plane.reshape(h, ne, stride)
+    new = jnp.concatenate([blocks[:, :, : off - mod], sel,
+                           blocks[:, :, off + mod :]], axis=-1)
+    return new.reshape(h, w)
+
+
 def _deblock_plane_v(plane, nblk: int, edge_on, limit, blimit, thresh, bd,
-                     luma: bool):
+                     luma: bool, allow14=None):
     """Vertical-edge pass.  plane: (H, W); edges between nblk-px block
-    columns; edge_on: (H, n_edges) bool per line (split-map gating)."""
+    columns; edge_on: (H, n_edges) bool per line (split-map gating).
+    allow14: optional per-line size cap (False = an adjacent 8x8/4x4 tx
+    caps the filter at 8 taps luma / 4 taps chroma)."""
     h, w = plane.shape
     ne = w // nblk - 1
     taps = 7 if luma else 3
@@ -216,17 +339,24 @@ def _deblock_plane_v(plane, nblk: int, edge_on, limit, blimit, thresh, bd,
             (1, nblk)))
     win = jnp.stack(cols, axis=-1)         # (H, ne, 2*taps)
     if luma:
-        out = _filter_luma_lines(win, limit, blimit, thresh, bd)
+        out = _filter_luma_lines(win, limit, blimit, thresh, bd,
+                                 allow14=allow14)
     else:
-        out = _filter_chroma_lines(win, limit, blimit, thresh, bd)
+        out = _filter_chroma_lines(win, limit, blimit, thresh, bd,
+                                   allow6=allow14)
     sel = jnp.where(edge_on[..., None], out, win[..., taps - mod : taps + mod])
-    # stitch back: modified columns are x-mod..x+mod-1 for each edge
+    # stitch back: modified columns are x-mod..x+mod-1 for each edge.
+    # Concatenate, not `.at[].set` — the scatter form hits an XLA:CPU
+    # multi-consumer fusion miscompile (see _deblock_interior_v).
     blocks = plane.reshape(h, w // nblk, nblk)
     left_new = sel[..., :mod]              # tail of block i (cols nblk-mod..)
     right_new = sel[..., mod:]             # head of block i+1
-    blocks = blocks.at[:, :-1, nblk - mod :].set(left_new)
-    blocks = blocks.at[:, 1:, :mod].set(right_new)
-    return blocks.reshape(h, w)
+    heads = jnp.concatenate([blocks[:, :1, :mod], right_new], axis=1)
+    tails = jnp.concatenate([left_new, blocks[:, -1:, nblk - mod :]],
+                            axis=1)
+    new = jnp.concatenate([heads, blocks[:, :, mod : nblk - mod], tails],
+                          axis=-1)
+    return new.reshape(h, w)
 
 
 def _deblock_plane(plane, nblk: int, v_on, h_on, limit, blimit, thresh,
@@ -262,37 +392,88 @@ def edge_gates(split32, split64, rows: int, cols: int):
 
 
 def deblock_planes(y, u, v, v_on16, h_on16, lvl_y, lvl_u, lvl_v,
-                   sharpness: int = 0, bit_depth: int = 8):
+                   sharpness: int = 0, bit_depth: int = 8, split16=None):
     """Apply the loop filter to recon planes (composable inside other
     jits; levels may be traced scalars — a level of 0 disables the plane
     pass via the edge gates).  v_on16/h_on16: per-16-block boundary
-    enables (rows, cols-1)/(rows-1, cols) from edge_gates[_j]."""
-    # per-line gating: expand block-edge enables to sample lines; a zero
-    # level gates the whole pass off
+    enables (rows, cols-1)/(rows-1, cols) from edge_gates[_j].
+
+    split16: optional (rows, cols) map of 16-blocks split into 8x8 TX
+    sub-blocks (av1tpu/models/inter_v.py).  Those blocks add interior tx
+    edges at the 8-px (luma) / 4-px (chroma) offsets, and cap the filter
+    size of their outer edges at 8 taps luma / 4 taps chroma (spec
+    7.14.5: filter size = min tx dim across the edge).  The interior
+    passes run FIRST: with the caps every edge's read/modify region is
+    disjoint from the outer passes' regions, so this static-slice
+    pipeline equals the spec's sequential in-place edge walk."""
     v16 = jnp.asarray(v_on16)
     h16 = jnp.asarray(h_on16)
-    v_lines = jnp.kron(v16.astype(jnp.int32),
-                       jnp.ones((16, 1), jnp.int32)).astype(bool)
-    h_lines = jnp.kron(h16.astype(jnp.int32),
-                       jnp.ones((16, 1), jnp.int32).T).astype(bool).T
-    li, bl, th = _thresholds(lvl_y, sharpness)
-    yy = _deblock_plane(y, 16, v_lines & (lvl_y > 0),
-                        h_lines & (lvl_y > 0), li, bl, th, bit_depth,
-                        True)
-    # chroma: 8-px blocks; merge gating maps 1:1 (chroma block grid ==
-    # luma 16-block grid)
-    vc_lines = jnp.kron(v16.astype(jnp.int32),
-                        jnp.ones((8, 1), jnp.int32)).astype(bool)
-    hc_lines = jnp.kron(h16.astype(jnp.int32),
-                        jnp.ones((8, 1), jnp.int32).T).astype(bool).T
-    li, bl, th = _thresholds(lvl_u, sharpness)
-    uu = _deblock_plane(u, 8, vc_lines & (lvl_u > 0),
-                        hc_lines & (lvl_u > 0), li, bl, th, bit_depth,
-                        False)
-    li, bl, th = _thresholds(lvl_v, sharpness)
-    vv = _deblock_plane(v, 8, vc_lines & (lvl_v > 0),
-                        hc_lines & (lvl_v > 0), li, bl, th, bit_depth,
-                        False)
+    # per-line expansion helpers: block-edge maps -> sample-line maps.
+    # Vertical passes run on the plane directly (lines = H); horizontal
+    # passes run on the transposed plane (lines = W), so their maps are
+    # built from the transposed block grids.
+    ex = lambda a, n: jnp.kron(a.astype(jnp.int32),
+                               jnp.ones((n, 1), jnp.int32)).astype(bool)
+    li_y, bl_y, th_y = _thresholds(lvl_y, sharpness)
+    li_u, bl_u, th_u = _thresholds(lvl_u, sharpness)
+    li_v, bl_v, th_v = _thresholds(lvl_v, sharpness)
+
+    if split16 is None:
+        yy = _deblock_plane(y, 16, ex(v16, 16) & (lvl_y > 0),
+                            ex(h16.T, 16) & (lvl_y > 0),
+                            li_y, bl_y, th_y, bit_depth, True)
+        uu = _deblock_plane(u, 8, ex(v16, 8) & (lvl_u > 0),
+                            ex(h16.T, 8) & (lvl_u > 0), li_u, bl_u, th_u,
+                            bit_depth, False)
+        vv = _deblock_plane(v, 8, ex(v16, 8) & (lvl_v > 0),
+                            ex(h16.T, 8) & (lvl_v > 0), li_v, bl_v, th_v,
+                            bit_depth, False)
+        return yy, uu, vv
+
+    s = jnp.asarray(split16).astype(bool)
+    cap_v = ~(s[:, 1:] | s[:, :-1])        # (rows, cols-1) both sides >=16
+    cap_h = ~(s[1:, :] | s[:-1, :])        # (rows-1, cols)
+
+    # spec pass order per plane: ALL vertical edges, then ALL horizontal
+    # (spec 7.14.1).  Within a direction the interior (8/4-px) edges come
+    # first — with the size caps their read/modify regions are disjoint
+    # from the boundary edges' writes, except the boundary reads the
+    # interior's outputs exactly as the raster edge walk would.
+    f8y = lambda w: _filter_luma8_lines(w, li_y, bl_y, th_y, bit_depth)
+    f4u = lambda w: _filter_chroma4_lines(w, li_u, bl_u, th_u, bit_depth)
+    f4v = lambda w: _filter_chroma4_lines(w, li_v, bl_v, th_v, bit_depth)
+
+    # luma: vertical (interior then boundary), then horizontal
+    yy = _deblock_interior_v(y, 16, 8, 4, 3, ex(s, 16) & (lvl_y > 0), f8y)
+    yy = _deblock_plane_v(yy, 16, ex(v16, 16) & (lvl_y > 0), li_y, bl_y,
+                          th_y, bit_depth, True, allow14=ex(cap_v, 16))
+    yy = yy.T
+    yy = _deblock_interior_v(yy, 16, 8, 4, 3,
+                             ex(s.T, 16) & (lvl_y > 0), f8y)
+    yy = _deblock_plane_v(yy, 16, ex(h16.T, 16) & (lvl_y > 0), li_y,
+                          bl_y, th_y, bit_depth, True,
+                          allow14=ex(cap_h.T, 16)).T
+
+    # chroma planes
+    uu = _deblock_interior_v(u, 8, 4, 2, 2, ex(s, 8) & (lvl_u > 0), f4u)
+    uu = _deblock_plane_v(uu, 8, ex(v16, 8) & (lvl_u > 0), li_u, bl_u,
+                          th_u, bit_depth, False, allow14=ex(cap_v, 8))
+    uu = uu.T
+    uu = _deblock_interior_v(uu, 8, 4, 2, 2,
+                             ex(s.T, 8) & (lvl_u > 0), f4u)
+    uu = _deblock_plane_v(uu, 8, ex(h16.T, 8) & (lvl_u > 0), li_u,
+                          bl_u, th_u, bit_depth, False,
+                          allow14=ex(cap_h.T, 8)).T
+
+    vv = _deblock_interior_v(v, 8, 4, 2, 2, ex(s, 8) & (lvl_v > 0), f4v)
+    vv = _deblock_plane_v(vv, 8, ex(v16, 8) & (lvl_v > 0), li_v, bl_v,
+                          th_v, bit_depth, False, allow14=ex(cap_v, 8))
+    vv = vv.T
+    vv = _deblock_interior_v(vv, 8, 4, 2, 2,
+                             ex(s.T, 8) & (lvl_v > 0), f4v)
+    vv = _deblock_plane_v(vv, 8, ex(h16.T, 8) & (lvl_v > 0), li_v,
+                          bl_v, th_v, bit_depth, False,
+                          allow14=ex(cap_h.T, 8)).T
     return yy, uu, vv
 
 

@@ -313,6 +313,14 @@ def _subpel_bank() -> np.ndarray:
     return np.asarray(tables.subpel_filters()["regular"], np.int32)
 
 
+@functools.cache
+def _subpel_bank4() -> np.ndarray:
+    """4-tap regular bank (stored 8-wide with zero taps 0,1,6,7), for
+    prediction blocks with a dimension <= 4 (spec 7.11.3.4)."""
+    from av1tpu.spec import tables
+    return np.asarray(tables.subpel_filters()["regular_4"], np.int32)
+
+
 def _patches24_select(ref, coarse_px, off_px):
     """Per-block 24x24 reference patches centered (pad 4) on the full-pel
     MV coarse+off, WITHOUT a gather (same technique as _patches_select but
@@ -488,19 +496,22 @@ def _chroma_patches_select(ref2, mv_int):
     return P
 
 
-def _chroma_mc_pair(ref_u, ref_v, mv8, pix_max):
+def _chroma_mc_pair(ref_u, ref_v, mv8, pix_max, bank=None):
     """8x8 chroma motion compensation of both planes for 1/8-pel luma MVs
     (spec 7.11.3: separable 8-tap EIGHTTAP-regular at 1/16-pel chroma
     resolution, rounding 3 then 11).  Bit-exact vs the engine's
     _predict_inter (av1tpu/spec/tile.py).  mv8: (rows, cols, 2) in
-    1/8-pel luma units = 1/16-pel chroma units.  Returns (pred_u,
+    1/8-pel luma units = 1/16-pel chroma units.  bank: filter bank
+    override (the 4-tap variant for split-8 sub-blocks — zero-padded to
+    8 taps, so the same separable loop applies).  Returns (pred_u,
     pred_v)."""
     mv_int = jnp.stack([mv8[..., 0] >> 4, mv8[..., 1] >> 4], -1)
     fy = mv8[..., 0] & 15
     fx = mv8[..., 1] & 15
     ref2 = jnp.stack([ref_u, ref_v])
     patch = _chroma_patches_select(ref2, mv_int)  # (2, rows, cols, 16, 16)
-    bank = jnp.asarray(_subpel_bank())
+    if bank is None:
+        bank = jnp.asarray(_subpel_bank())
     tx = bank[fx]                          # (rows, cols, 8)
     ty = bank[fy]
     hor = jnp.zeros(patch.shape[:3] + (16, 8), jnp.int32)
@@ -521,6 +532,138 @@ def _chroma_mc(ref, mv8, pix_max):
     """Single-plane wrapper kept for tests/probes; production uses
     _chroma_mc_pair (one select pass for u+v)."""
     return _chroma_mc_pair(ref, ref, mv8, pix_max)[0]
+
+
+# ----------------------------------------------------------------------
+# 8x8 sub-block stage: candidate MVs live on the 16-block grid (parent /
+# zero / 4 edge neighbors), so every candidate prediction is a full-frame
+# 16-grid MC at a (shifted) MV field — reusing the cheap _patches24_select
+# path — and the 8x8 winner is its quadrant: separable filtering is
+# position-independent, so the quadrant of a 16x16 8-tap MC is bit-exact
+# the 8x8 8-tap MC at the same MV (and likewise 4x4 quadrants of an 8x8
+# 4-tap chroma MC).
+# ----------------------------------------------------------------------
+
+
+def _mc16_at(ref, mv8, pix_max):
+    """Normative 16x16 luma MC at an arbitrary per-block 1/8-pel MV field
+    (EIGHTTAP regular, InterRound0/1 — spec 7.11.3.2), via
+    _patches24_select.  Full-pel parts are clamped into the +-34 px patch
+    range (encoder-side candidate restriction only; the returned mv8 is
+    the clamped MV actually compensated).  Returns (mv8_used, pred
+    (rows, cols, 16, 16))."""
+    fp = jnp.stack([mv8[..., 0] >> 3, mv8[..., 1] >> 3], -1)
+    fr = jnp.stack([mv8[..., 0] & 7, mv8[..., 1] & 7], -1)
+    coarse = jnp.clip(((fp + 2) >> 2) << 2, -4 * _COARSE_R, 4 * _COARSE_R)
+    off = jnp.clip(fp - coarse, -2, 2)
+    mv8u = ((coarse + off) << 3) + fr
+    P24 = _patches24_select(ref, coarse, off)
+    bank = jnp.asarray(_subpel_bank())
+    tx = bank[fr[..., 1] << 1]                    # (rows, cols, 8)
+    ty = bank[fr[..., 0] << 1]
+    hor = jnp.zeros(P24.shape[:2] + (24, 16), jnp.int32)
+    for k in range(8):
+        hor = hor + tx[..., k, None, None] * P24[..., :, 1 + k : 17 + k]
+    hor = (hor + 4) >> 3                          # InterRound0
+    out = jnp.zeros(P24.shape[:2] + (16, 16), jnp.int32)
+    for k in range(8):
+        out = out + ty[..., k, None, None] * hor[..., 1 + k : 17 + k, :]
+    return mv8u, jnp.clip((out + 1024) >> 11, 0, pix_max)  # InterRound1
+
+
+_SUB8_NONPARENT_BITS = 10.0   # NEWMV diff / DRL cost of a sub-block MV
+_SUB8_HDR_BITS = 4.0          # per-sub-block skip+mode+ref signaling
+
+
+def _quads(b, n: int):
+    """(rows, cols, 2n, 2n) blocks -> (2*rows, 2*cols, n, n) quadrants."""
+    rows, cols = b.shape[:2]
+    return (b.reshape(rows, cols, 2, n, 2, n).transpose(0, 2, 1, 4, 3, 5)
+            .reshape(2 * rows, 2 * cols, n, n))
+
+
+def _unquads(b, n: int):
+    """(2*rows, 2*cols, n, n) -> (rows, cols, 2n, 2n): inverse of _quads."""
+    rows8, cols8 = b.shape[:2]
+    rows, cols = rows8 // 2, cols8 // 2
+    return (b.reshape(rows, 2, cols, 2, n, n).transpose(0, 2, 1, 4, 3, 5)
+            .reshape(rows, cols, 2 * n, 2 * n))
+
+
+def _sub8_stage(y, ref_y, ref_u, ref_v, mv16, pred_b16, lam, pix_max):
+    """Per-8x8 sub-block MV selection for motion boundaries.
+
+    A 16x16 block straddling an object edge motion-compensates one side
+    wrongly no matter which MV it picks (VERDICT r2: the synth corpus box
+    ring re-codes every frame).  Candidates per 8x8 sub-block: the parent
+    16-block's MV (prediction free from the parent sweep), the zero MV
+    (free slice of the reference), and the 4 edge-neighbor blocks' MVs —
+    at a boundary the far-side sub-blocks pick the neighbor's motion,
+    which the MV stack then signals nearly free.  Each candidate field
+    lives on the 16-grid, so its luma preds are quadrants of one 16-grid
+    MC pass (_mc16_at) and its chroma preds are quadrants of one 4-tap
+    _chroma_mc_pair pass — all normative MC outputs, bit-exact vs the
+    engine (the 4x4 chroma of an 8x8 inter block takes the 4-tap bank,
+    spec 7.11.3.4).
+
+    Returns dict: mv8 (rows8, cols8, 2) 1/8-pel, pred (rows8, cols8, 8,
+    8) luma, pred_uv (2, rows8, cols8, 4, 4), mv_bits (rows8, cols8)."""
+    rows, cols = mv16.shape[:2]
+    src8 = _quads(_to_blocks(y, 16), 8)
+    pred_p = _quads(pred_b16, 8)
+    rep2 = lambda a: jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
+    mv_p = rep2(mv16)
+
+    best_cost = jnp.abs(src8 - pred_p).sum(axis=(2, 3)).astype(jnp.float32)
+    best_mv = mv_p                        # parent pays no extra signaling
+    best_pred = pred_p
+    best_idx = jnp.zeros((2 * rows, 2 * cols), jnp.int32)
+
+    def consider(idx, mv_cand8, pred_cand, penalty):
+        nonlocal best_cost, best_mv, best_pred, best_idx
+        sad = jnp.abs(src8 - pred_cand).sum(axis=(2, 3)).astype(jnp.float32)
+        cost = sad + penalty
+        take = cost < best_cost
+        best_cost = jnp.where(take, cost, best_cost)
+        best_idx = jnp.where(take, idx, best_idx)
+        best_mv = jnp.where(take[..., None], mv_cand8, best_mv)
+        best_pred = jnp.where(take[..., None, None], pred_cand, best_pred)
+
+    # candidate 1 — zero MV: the co-located reference block, no filter
+    consider(1, jnp.zeros_like(mv_p), _to_blocks(ref_y, 8),
+             lam * _MV_BIAS * 4.0)
+
+    # candidates 2-5 — edge-neighbor MV fields (shifts of mv16): one
+    # 16-grid MC pass each, quadrants are the sub-block preds
+    up = jnp.concatenate([mv16[:1], mv16[:-1]], 0)
+    down = jnp.concatenate([mv16[1:], mv16[-1:]], 0)
+    left = jnp.concatenate([mv16[:, :1], mv16[:, :-1]], 1)
+    right = jnp.concatenate([mv16[:, 1:], mv16[:, -1:]], 1)
+    fields = [mv16, up, down, left, right]           # [parent, n...]
+    used = [mv16]
+    for i, f in enumerate(fields[1:]):
+        mv_u, pred16 = _mc16_at(ref_y, f, pix_max)
+        used.append(mv_u)
+        consider(2 + i, rep2(mv_u), _quads(pred16, 8),
+                 lam * _MV_BIAS * 6.0)
+
+    # chroma: one 4-tap pair pass per candidate field, selected per
+    # sub-block by the winner index (zero MV = co-located planes)
+    qpair = lambda a: jnp.stack([_quads(a[0], 4), _quads(a[1], 4)])
+    pred_uv = qpair(jnp.stack([_to_blocks(ref_u, 8),
+                               _to_blocks(ref_v, 8)]))  # candidate 1
+    bank4 = jnp.asarray(_subpel_bank4())
+    for i, f in zip((0, 2, 3, 4, 5), used):
+        cu, cv = _chroma_mc_pair(ref_u, ref_v, f, pix_max, bank=bank4)
+        cand = qpair(jnp.stack([cu, cv]))
+        m = (best_idx == i)[None, :, :, None, None]
+        pred_uv = jnp.where(m, cand, pred_uv)
+
+    nonparent = best_idx != 0
+    mv_bits = (_SUB8_HDR_BITS
+               + jnp.where(nonparent, _SUB8_NONPARENT_BITS, 2.0))
+    return {"mv8": best_mv, "pred": best_pred, "pred_uv": pred_uv,
+            "mv_bits": mv_bits}
 
 
 def _code_plane_inter(src, pred, qindex, n: int, bit_depth: int,
@@ -726,12 +869,14 @@ def _fwd64_inter():
 
 
 def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
-                     bit_depth: int):
+                     bit_depth: int, sub8=None):
     """Partition RDO on top of the 16-grid search results.
 
     src_b/pred_b: (rows, cols, 16, 16) luma; src_cb/pred_cb: pairs of
-    (rows, cols, 8, 8) chroma (u, v).  Returns dict of per-size level
-    grids, split maps and recon planes (union-layout-ready)."""
+    (rows, cols, 8, 8) chroma (u, v).  sub8: optional _sub8_stage output
+    (per-8x8 candidate MVs/preds) enabling 16->8x8 splits at motion
+    boundaries.  Returns dict of per-size level grids, split maps and
+    recon planes (union-layout-ready)."""
     rows, cols = mv8.shape[:2]
     rows32, cols32 = rows // 2, cols // 2
     rows64, cols64 = rows // 4, cols // 4
@@ -793,6 +938,39 @@ def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
     _, (lv16, rec16, d16, r16), (lu8, recu8, du8, ru8), \
         (lv8, recv8, dv8, rv8) = _skip_rdo(lam_full, y16t, cl[0], cl[1],
                                            pred_b, pred_cb[0], pred_cb[1])
+
+    # ---- 8x8 split (motion boundaries; TX_8X8 luma + TX_4X4 chroma) ----
+    if sub8 is not None:
+        from av1tpu.models.rdoq import coef_gains as _cg
+
+        fwd4 = jnp.asarray(forward_matrix(4, 4, 0))
+        step4, q4, cap4 = _plane_params(qindex, 4, bit_depth)
+        rm8y, rm4c = RateModel(8, 0), RateModel(4, 1)
+        g4g = jnp.asarray(_cg(4))
+        g8g = jnp.asarray(_cg(8))
+        src8 = _quads(src_b, 8)
+        sc4 = [_quads(s, 4) for s in src_cb]
+        pc4 = sub8["pred_uv"]              # (2, rows8, cols8, 4, 4)
+        y8t = _code_nn(src8, sub8["pred"], fwd8, step8, q8, 0, cap8,
+                       pix_max, rm8y, qctx, lam_full, g8g)
+        c4 = _code_nn_uv(sc4, (pc4[0], pc4[1]), fwd4, step4, q4, 0, cap4,
+                         rm4c, g4g)
+        _, (l8y, rec8y, d8, r8), (l4u, rec4u, du4, ru4), \
+            (l4v, rec4v, dv4, rv4) = _skip_rdo(lam_full, y8t, c4[0], c4[1],
+                                               sub8["pred"], pc4[0],
+                                               pc4[1])
+        cost8 = (d8 + du4 + dv4
+                 + lam * (r8 + ru4 + rv4 + sub8["mv_bits"]))
+        q22 = lambda x: x.reshape(rows, 2, cols, 2).sum(axis=(1, 3))
+        cost8s = q22(cost8) + lam * _SPLIT_OVERHEAD_BITS
+        cost16leaf = d16 + du8 + dv8 + lam * (r16 + ru8 + rv8)
+        split16 = cost8s < cost16leaf
+    else:
+        split16 = jnp.zeros((rows, cols), bool)
+
+    # split blocks can't join a 32/64 merge
+    eq32 = eq32 & ~(split16.reshape(rows32, 2, cols32, 2).any(axis=(1, 3)))
+    eq64 = eq64 & ~(split16.reshape(rows64, 4, cols64, 4).any(axis=(1, 3)))
 
     # ---- 32 merge (luma 32 DCT shift1 + chroma 16 DCT) ----
     s32 = _join_blocks(src_b, 2)
@@ -866,6 +1044,16 @@ def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
     z16 = lambda a: jnp.where(m16[:, :, None, None], 0, a)
     z32 = lambda a: jnp.where(ch32[:, :, None, None], a, 0)
     z64 = lambda a: jnp.where(ch64[:, :, None, None], a, 0)
+
+    # ---- split-16 union embed: 8x8/4x4 levels into the parent slots ----
+    if sub8 is not None:
+        se = split16[:, :, None, None]
+        s8e = jnp.repeat(jnp.repeat(split16, 2, 0), 2, 1)[..., None, None]
+        z8 = lambda a: jnp.where(s8e, a, 0)
+        lv16 = jnp.where(se, _unquads(z8(l8y), 8), lv16)
+        lu8 = jnp.where(se, _unquads(z8(l4u), 4), lu8)
+        lv8 = jnp.where(se, _unquads(z8(l4v), 4), lv8)
+
     out = {
         "lv16": z16(lv16).astype(jnp.int16),
         "lu8": z16(lu8).astype(jnp.int16),
@@ -902,14 +1090,35 @@ def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
     out["recon_y"] = plane_recon(rec16, rec32, rec64q, 16)
     out["recon_u"] = plane_recon(recu8, recu16, recu32, 8)
     out["recon_v"] = plane_recon(recv8, recv16, recv32, 8)
+
+    if sub8 is not None:
+        # recon override + per-8 MV transport for split blocks
+        rep2 = lambda a: jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
+        s8 = rep2(split16)
+        my = jnp.repeat(jnp.repeat(s8, 8, 0), 8, 1)    # luma pixel mask
+        mc = jnp.repeat(jnp.repeat(s8, 4, 0), 4, 1)    # chroma pixel mask
+        out["recon_y"] = jnp.where(my, _from_blocks(rec8y), out["recon_y"])
+        out["recon_u"] = jnp.where(mc, _from_blocks(rec4u), out["recon_u"])
+        out["recon_v"] = jnp.where(mc, _from_blocks(rec4v), out["recon_v"])
+        out["split16"] = split16
+        out["mv8"] = jnp.where(s8[..., None], sub8["mv8"], rep2(mv8))
+        # zeroed-where-unsplit grids for CDEF skip gating / engine replay
+        s8e = s8[..., None, None]
+        out["lv8y"] = jnp.where(s8e, l8y, 0).astype(jnp.int16)
+        out["lu4"] = jnp.where(s8e, l4u, 0).astype(jnp.int16)
+        out["lv4"] = jnp.where(s8e, l4v, 0).astype(jnp.int16)
+    else:
+        out["split16"] = split16
+        out["mv8"] = jnp.repeat(jnp.repeat(mv8, 2, 0), 2, 1)
     return out
 
 
 @functools.partial(jax.jit, static_argnames=("bit_depth",))
 def encode_inter_part(y, u, v, ref_y, ref_u, ref_v, qindex,
-                      bit_depth: int = 8):
-    """Partitioned inter encode: 16-grid motion search, then 32/64 merge
-    RDO.  Returns per-size level grids, the MV grid, split maps and recon
+                      bit_depth: int = 8, sub8: bool = True):
+    """Partitioned inter encode: 16-grid motion search, 16->8x8 splits at
+    motion boundaries, then 32/64 merge RDO.  Returns per-size level
+    grids, MV grids (per-16 "mv" + per-8 "mv8"), split maps and recon
     planes."""
     ac = _plane_params(qindex, 16, bit_depth)[0][1]
     lam = (ac * ac * 0.0234) ** 0.5
@@ -918,9 +1127,15 @@ def encode_inter_part(y, u, v, ref_y, ref_u, ref_v, qindex,
     mv8, pred_y, src_b = _search_mv(y, ref_y, lam, pix_max)
     pred_u, pred_v = _chroma_mc_pair(ref_u, ref_v, mv8, pix_max)
 
+    s8 = None
+    if sub8:
+        s8 = _sub8_stage(y, ref_y, ref_u, ref_v, mv8, pred_y, lam,
+                         pix_max)
+
     out = _inter_partition(src_b, pred_y,
                            (_to_blocks(u, 8), _to_blocks(v, 8)),
-                           (pred_u, pred_v), mv8, qindex, bit_depth)
+                           (pred_u, pred_v), mv8, qindex, bit_depth,
+                           sub8=s8)
     out["mv"] = mv8
     return out
 
@@ -978,10 +1193,11 @@ def _gop_step_part_body(frame_u8, ref_fused, qindex, height: int,
     head = jnp.stack([count & 0x7FFF, count >> 15]).astype(jnp.int16)
     buf = jnp.concatenate([
         head, jax.lax.bitcast_convert_type(bitmap, jnp.int16), vals[:cap],
+        o["split16"].reshape(-1).astype(jnp.int16),
         o["split32"].reshape(-1).astype(jnp.int16),
         o["split64"].reshape(-1).astype(jnp.int16),
-        o["mv"][..., 0].reshape(-1).astype(jnp.int16),
-        o["mv"][..., 1].reshape(-1).astype(jnp.int16)])
+        o["mv8"][..., 0].reshape(-1).astype(jnp.int16),
+        o["mv8"][..., 1].reshape(-1).astype(jnp.int16)])
     rcy, rcu, rcv = o["recon_y"], o["recon_u"], o["recon_v"]
     if lf3 is not None:
         from av1tpu.models.deblock_tpu import deblock_planes, edge_gates_j
@@ -989,17 +1205,20 @@ def _gop_step_part_body(frame_u8, ref_fused, qindex, height: int,
         v_on, h_on = edge_gates_j(o["split32"], o["split64"], rows, cols)
         rcy, rcu, rcv = deblock_planes(rcy, rcu, rcv, v_on, h_on,
                                        lf3[0], lf3[1], lf3[2], 0,
-                                       bit_depth)
+                                       bit_depth, split16=o["split16"])
     if cdef_s is not None:
         from av1tpu.models.cdef_tpu import (
-            cdef_planes, merge_skip16, skip8_of, skip16_from_levels,
+            cdef_planes, merge_skip16, skip8_split, skip16_from_levels,
         )
-        s16 = skip16_from_levels(
-            y16.reshape(height // 16, width // 16, 16, 16),
-            u8.reshape(height // 16, width // 16, 8, 8),
-            v8.reshape(height // 16, width // 16, 8, 8))
+        r16g, c16g = height // 16, width // 16
+        y16g = y16.reshape(r16g, c16g, 16, 16)
+        u8g = u8.reshape(r16g, c16g, 8, 8)
+        v8g = v8.reshape(r16g, c16g, 8, 8)
+        s16 = skip16_from_levels(y16g, u8g, v8g)
         s16 = merge_skip16(s16, o["split32"], o["split64"])
-        rcy, rcu, rcv = cdef_planes(rcy, rcu, rcv, skip8_of(s16),
+        rcy, rcu, rcv = cdef_planes(rcy, rcu, rcv,
+                                    skip8_split(s16, o["split16"],
+                                                y16g, u8g, v8g),
                                     cdef_s[0], cdef_s[1], cdef_s[2],
                                     cdef_s[3], 3, bit_depth)
     new_ref = jnp.concatenate([rcy.reshape(-1), rcu.reshape(-1),
@@ -1035,22 +1254,25 @@ def encode_gop_chunk_part(frames_u8, ref_fused, qindex, height: int,
 
 
 def split_compact_inter_part(buf: np.ndarray, height: int, width: int):
-    """Host split -> (count, bitmap u16, vals i16, split32, split64,
-    mv (r16, c16, 2) i32)."""
+    """Host split -> (count, bitmap u16, vals i16, split16, split32,
+    split64, mv (r8, c8, 2) i32 per-8-block)."""
     nb, nb32, nb64, ncoef = inter_part_sizes(height, width)
+    nb8 = 4 * nb
     nwords = ncoef // 16
     count = int(buf[0]) | (int(buf[1]) << 15)
     bitmap = buf[2 : 2 + nwords].view(np.uint16)
-    tail = nb32 + nb64 + 2 * nb
+    tail = nb + nb32 + nb64 + 2 * nb8
     vals = buf[2 + nwords : len(buf) - tail]
     meta = buf[len(buf) - tail :]
-    split32 = np.asarray(meta[:nb32]).reshape(height // 32, width // 32)
-    split64 = np.asarray(meta[nb32 : nb32 + nb64]).reshape(
+    split16 = np.asarray(meta[:nb]).reshape(height // 16, width // 16)
+    split32 = np.asarray(meta[nb : nb + nb32]).reshape(
+        height // 32, width // 32)
+    split64 = np.asarray(meta[nb + nb32 : nb + nb32 + nb64]).reshape(
         height // 64, width // 64)
-    mvs = meta[nb32 + nb64 :].astype(np.int32)
-    mv = np.stack([mvs[:nb], mvs[nb:]], axis=-1).reshape(
-        height // 16, width // 16, 2)
-    return count, bitmap, vals, split32, split64, mv
+    mvs = meta[nb + nb32 + nb64 :].astype(np.int32)
+    mv = np.stack([mvs[:nb8], mvs[nb8:]], axis=-1).reshape(
+        height // 8, width // 8, 2)
+    return count, bitmap, vals, split16, split32, split64, mv
 
 
 def inter_sizes(height: int, width: int):

@@ -23,7 +23,10 @@ COS = [int(v) for v in COS128]
 
 
 def _rs(x, n):
-    """round2: (x + 2^(n-1)) >> n, exact arithmetic shift."""
+    """round2: (x + 2^(n-1)) >> n, exact arithmetic shift (n=0: no-op,
+    the 4x4 row pass has no intermediate rounding)."""
+    if n == 0:
+        return x
     return (x + (1 << (n - 1))) >> n
 
 

@@ -749,8 +749,10 @@ class TileCoder:
 
     def _predict_inter(self, plane, x, y, tx, mv, ref_frame=LAST_FRAME):
         """Motion compensation from the chosen reference (spec 7.11.3
-        block_inter_predict, translation-only): separable 8-tap sub-pel
-        interpolation (EIGHTTAP regular, the filter the headers signal)
+        block_inter_predict, translation-only): separable sub-pel
+        interpolation (EIGHTTAP regular, the filter the headers signal;
+        per spec 7.11.3.4 a prediction-block dimension <= 4 in this plane
+        switches that direction to the 4-tap variant Subpel_Filters[3])
         with the normative two-stage rounding; reads are clamped to the
         frame bounds exactly as the normative predictor."""
         sub = 1 if plane else 0
@@ -771,8 +773,11 @@ class TileCoder:
             rows = np.clip(np.arange(y + iy, y + iy + h), 0, fhh - 1)
             cols = np.clip(np.arange(x + ix, x + ix + w), 0, fw - 1)
             return ref[np.ix_(rows, cols)].astype(np.int64)
-        filt = tables.subpel_filters()["regular"].astype(np.int64)
-        fxr, fyr = filt[fx], filt[fy]
+        banks = tables.subpel_filters()
+        fxr = banks["regular_4" if w <= 4 else "regular"].astype(
+            np.int64)[fx]
+        fyr = banks["regular_4" if h <= 4 else "regular"].astype(
+            np.int64)[fy]
         rows = np.clip(np.arange(y + iy - 3, y + iy + h + 4), 0, fhh - 1)
         cols = np.clip(np.arange(x + ix - 3, x + ix + w + 4), 0, fw - 1)
         patch = ref[np.ix_(rows, cols)].astype(np.int64)   # (h+7, w+7)

@@ -76,7 +76,8 @@ def test_inter_part_packer_byte_identical(seed, motion, q):
                                  ref, o, q, w, h)
         bitmap, vals = union_compact(o)
         cpp = packer.pack_tile_inter_part(bitmap, vals, o["split32"],
-                                          o["split64"], o["mv"], h, w, q)
+                                          o["split64"], o["mv8"], h, w, q,
+                                          split16=o["split16"])
         assert cpp == py_tile, (k, len(cpp), len(py_tile))
         ref = (o["recon_y"], o["recon_u"], o["recon_v"])
 

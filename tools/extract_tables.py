@@ -503,7 +503,15 @@ def extract_subpel():
             out["sharp"] = b
         elif half == (0, 0, 0, 64, 64, 0, 0, 0):
             out["bilinear"] = b
+        elif half == (0, 0, -12, 76, 76, -12, 0, 0):
+            # 4-tap variants (taps in columns 2..5 only): the spec's
+            # Subpel_Filters[3]/[4], selected when the prediction block
+            # dimension in the plane is <= 4 (spec 7.11.3.4)
+            out["regular_4"] = b
+        elif half == (0, 0, 12, 52, 52, 12, 0, 0):
+            out["smooth_4"] = b
     assert "regular" in out, "regular subpel filter bank not found"
+    assert "regular_4" in out, "4-tap subpel filter bank not found"
     return out
 
 

@@ -321,54 +321,6 @@ def _subpel_bank4() -> np.ndarray:
     return np.asarray(tables.subpel_filters()["regular_4"], np.int32)
 
 
-def _patches24_select(ref, coarse_px, off_px):
-    """Per-block 24x24 reference patches centered (pad 4) on the full-pel
-    MV coarse+off, WITHOUT a gather (same technique as _patches_select but
-    on 64x64 tiles so the 8-tap filter margins fit).  coarse_px: (rows,
-    cols, 2) multiples of 4 in [-32, 32]; off_px: (rows, cols, 2) in
-    [-2, 2].  Frame-bound clamping of the normative predictor becomes edge
-    padding."""
-    h, w = ref.shape
-    rows, cols = h // 16, w // 16
-    A_r = (coarse_px[..., 0] + 32) // 16 - 2          # [-2, 2]
-    B_r = coarse_px[..., 0] - 16 * A_r                # {0, 4, 8, 12}
-    A_c = (coarse_px[..., 1] + 32) // 16 - 2
-    B_c = coarse_px[..., 1] - 16 * A_c
-
-    # 64x64 tiles covering block rows (r + A - 1 .. r + A + 2): refp padded
-    # by 4 blocks; X64 over the +-2-block extended grid
-    refp = jnp.pad(ref, 64, mode="edge")
-    rowsE, colsE = rows + 4, cols + 4
-    Bp = (refp.reshape(rows + 8, 16, cols + 8, 16)
-          .transpose(0, 2, 1, 3))                # (rows+8, cols+8, 16, 16)
-    XR = jnp.concatenate([Bp[1 + k : 1 + k + rowsE] for k in range(4)],
-                         axis=2)                 # (rowsE, cols+8, 64, 16)
-    X = jnp.concatenate([XR[:, 1 + k : 1 + k + colsE] for k in range(4)],
-                        axis=3)                  # (rowsE, colsE, 64, 64)
-
-    Y = jnp.zeros((rows, cols, 64, 64), jnp.int32)
-    for a in range(-2, 3):
-        row_m = A_r == a
-        for a2 in range(-2, 3):
-            m = (row_m & (A_c == a2))[..., None, None]
-            Y = Y + jnp.where(
-                m, X[2 + a : 2 + a + rows, 2 + a2 : 2 + a2 + cols], 0)
-
-    # 1-px remainder: patch row k = tile row 12 + (B + off) + k,
-    # B + off in [-2, 14]
-    s_r = B_r + off_px[..., 0]
-    s_c = B_c + off_px[..., 1]
-    Z = jnp.zeros((rows, cols, 24, 64), jnp.int32)
-    for s in range(-2, 15):
-        m = (s_r == s)[..., None, None]
-        Z = Z + jnp.where(m, Y[:, :, 12 + s : 12 + s + 24, :], 0)
-    P = jnp.zeros((rows, cols, 24, 24), jnp.int32)
-    for s in range(-2, 15):
-        m = (s_c == s)[..., None, None]
-        P = P + jnp.where(m, Z[..., 12 + s : 12 + s + 24], 0)
-    return P
-
-
 _SUBPEL_D = (-6, -4, -2, 0, 2, 4, 6)   # 1/8-pel offsets (quarter-pel grid)
 
 
@@ -535,40 +487,157 @@ def _chroma_mc(ref, mv8, pix_max):
 
 
 # ----------------------------------------------------------------------
-# 8x8 sub-block stage: candidate MVs live on the 16-block grid (parent /
-# zero / 4 edge neighbors), so every candidate prediction is a full-frame
-# 16-grid MC at a (shifted) MV field — reusing the cheap _patches24_select
-# path — and the 8x8 winner is its quadrant: separable filtering is
-# position-independent, so the quadrant of a 16x16 8-tap MC is bit-exact
-# the 8x8 8-tap MC at the same MV (and likewise 4x4 quadrants of an 8x8
-# 4-tap chroma MC).
+# 8x8 sub-block stage: ONE extended 32x32 MC pass per 16-block at its own
+# MV (an 8-px ring around the block).  Separable filtering is position-
+# independent, so any aligned slice of an extended MC output is bit-exact
+# the normative MC of that region at the same MV — which makes every
+# adjacent-neighbor-MV candidate for a sub-block a pure SLICE of the
+# neighbor's extended prediction (the ring covers exactly the sub-blocks
+# touching that neighbor).  Chroma likewise: one extended 16x16 4-tap
+# pass (4x4 chroma of an 8x8 inter block takes the 4-tap bank, spec
+# 7.11.3.4).  This replaces an earlier formulation that re-ran full-frame
+# MC once per neighbor field — 4 luma + 5 chroma passes whose graph blew
+# up XLA compile time.
 # ----------------------------------------------------------------------
 
 
-def _mc16_at(ref, mv8, pix_max):
-    """Normative 16x16 luma MC at an arbitrary per-block 1/8-pel MV field
-    (EIGHTTAP regular, InterRound0/1 — spec 7.11.3.2), via
-    _patches24_select.  Full-pel parts are clamped into the +-34 px patch
-    range (encoder-side candidate restriction only; the returned mv8 is
-    the clamped MV actually compensated).  Returns (mv8_used, pred
-    (rows, cols, 16, 16))."""
+def _patches40_select(ref, coarse_px, off_px):
+    """Per-block 40x40 reference patches: row/col j <-> ref[16R + coarse
+    + off + j - 12] — an 8-px ring plus 8-tap margins around the
+    16-block at the full-pel MV.  Same static-tile masked-select
+    machinery as _patches24_select; that function's output equals the
+    [8:32, 8:32] center slice of this one."""
+    h, w = ref.shape
+    rows, cols = h // 16, w // 16
+    A_r = (coarse_px[..., 0] + 32) // 16 - 2          # [-2, 2]
+    B_r = coarse_px[..., 0] - 16 * A_r                # {0, 4, 8, 12}
+    A_c = (coarse_px[..., 1] + 32) // 16 - 2
+    B_c = coarse_px[..., 1] - 16 * A_c
+
+    refp = jnp.pad(ref, 64, mode="edge")
+    rowsE, colsE = rows + 4, cols + 4
+    Bp = (refp.reshape(rows + 8, 16, cols + 8, 16)
+          .transpose(0, 2, 1, 3))                # (rows+8, cols+8, 16, 16)
+    XR = jnp.concatenate([Bp[1 + k : 1 + k + rowsE] for k in range(4)],
+                         axis=2)                 # (rowsE, cols+8, 64, 16)
+    X = jnp.concatenate([XR[:, 1 + k : 1 + k + colsE] for k in range(4)],
+                        axis=3)                  # (rowsE, colsE, 64, 64)
+
+    Y = jnp.zeros((rows, cols, 64, 64), jnp.int32)
+    for a in range(-2, 3):
+        row_m = A_r == a
+        for a2 in range(-2, 3):
+            m = (row_m & (A_c == a2))[..., None, None]
+            Y = Y + jnp.where(
+                m, X[2 + a : 2 + a + rows, 2 + a2 : 2 + a2 + cols], 0)
+
+    # patch row 0 = tile row (B + off) + 4, B + off in [-2, 14]
+    s_r = B_r + off_px[..., 0]
+    s_c = B_c + off_px[..., 1]
+    Z = jnp.zeros((rows, cols, 40, 64), jnp.int32)
+    for s in range(-2, 15):
+        m = (s_r == s)[..., None, None]
+        Z = Z + jnp.where(m, Y[:, :, 4 + s : 4 + s + 40, :], 0)
+    P = jnp.zeros((rows, cols, 40, 40), jnp.int32)
+    for s in range(-2, 15):
+        m = (s_c == s)[..., None, None]
+        P = P + jnp.where(m, Z[..., 4 + s : 4 + s + 40], 0)
+    return P
+
+
+def _mc_ext32(P40, mv8, mv_px, pix_max):
+    """Extended 32x32 normative luma MC per 16-block at its own 1/8-pel
+    MV: E[r, c][a, b] = MC of pixel (16r + a - 8, 16c + b - 8) at
+    mv8[r, c] (EIGHTTAP regular, InterRound0/1 — spec 7.11.3.2), so the
+    [8:24, 8:24] center equals the block's own prediction bit-exactly.
+    P40: patches from _patches40_select at the full-pel search winner
+    mv_px; mv8 = 8*mv_px + d with d in [-6, 6], so the integer part
+    fp = mv8 >> 3 is mv_px or mv_px - 1 per axis — folded in as a +-1
+    read shift (same trick as _subpel_refine's hors)."""
     fp = jnp.stack([mv8[..., 0] >> 3, mv8[..., 1] >> 3], -1)
     fr = jnp.stack([mv8[..., 0] & 7, mv8[..., 1] & 7], -1)
-    coarse = jnp.clip(((fp + 2) >> 2) << 2, -4 * _COARSE_R, 4 * _COARSE_R)
-    off = jnp.clip(fp - coarse, -2, 2)
-    mv8u = ((coarse + off) << 3) + fr
-    P24 = _patches24_select(ref, coarse, off)
+    sy = (fp[..., 0] - mv_px[..., 0])[..., None, None]   # {-1, 0}
+    sx = (fp[..., 1] - mv_px[..., 1])[..., None, None]
     bank = jnp.asarray(_subpel_bank())
     tx = bank[fr[..., 1] << 1]                    # (rows, cols, 8)
     ty = bank[fr[..., 0] << 1]
-    hor = jnp.zeros(P24.shape[:2] + (24, 16), jnp.int32)
+    hor = jnp.zeros(P40.shape[:2] + (40, 32), jnp.int32)
     for k in range(8):
-        hor = hor + tx[..., k, None, None] * P24[..., :, 1 + k : 17 + k]
+        rd = jnp.where(sx < 0, P40[..., :, k : 32 + k],
+                       P40[..., :, 1 + k : 33 + k])
+        hor = hor + tx[..., k, None, None] * rd
     hor = (hor + 4) >> 3                          # InterRound0
-    out = jnp.zeros(P24.shape[:2] + (16, 16), jnp.int32)
+    out = jnp.zeros(P40.shape[:2] + (32, 32), jnp.int32)
     for k in range(8):
-        out = out + ty[..., k, None, None] * hor[..., 1 + k : 17 + k, :]
-    return mv8u, jnp.clip((out + 1024) >> 11, 0, pix_max)  # InterRound1
+        rd = jnp.where(sy < 0, hor[..., k : 32 + k, :],
+                       hor[..., 1 + k : 33 + k, :])
+        out = out + ty[..., k, None, None] * rd
+    return jnp.clip((out + 1024) >> 11, 0, pix_max)  # InterRound1
+
+
+def _chroma_patches24_select(ref2, mv_int):
+    """Per-block 24x24 chroma reference patches (8-block + 4-px ring +
+    4-tap margins): row j <-> ref[8R' + cmv + j - 8].  Same tile
+    machinery as _chroma_patches_select (whose output is the [4:20,
+    4:20] center slice)."""
+    _, h, w = ref2.shape
+    rows, cols = h // 8, w // 8
+    A_r = (mv_int[..., 0] + 24) >> 3
+    B_r = mv_int[..., 0] - ((A_r - 3) << 3)
+    A_c = (mv_int[..., 1] + 24) >> 3
+    B_c = mv_int[..., 1] - ((A_c - 3) << 3)
+
+    refp = jnp.pad(ref2, ((0, 0), (32, 32), (32, 32)), mode="edge")
+    rowsE, colsE = rows + 5, cols + 5
+    Bp = (refp.reshape(2, rows + 8, 8, cols + 8, 8)
+          .transpose(0, 1, 3, 2, 4))        # (2, rows+8, cols+8, 8, 8)
+    XR = jnp.concatenate([Bp[:, k : rowsE + k] for k in range(4)], axis=3)
+    X = jnp.concatenate([XR[:, :, k : colsE + k] for k in range(4)],
+                        axis=4)             # (2, rowsE, colsE, 32, 32)
+
+    Y = jnp.zeros((2, rows, cols, 32, 32), jnp.int32)
+    for s in range(6):                       # s = A + 3
+        row_m = A_r == s
+        for s2 in range(6):
+            m = (row_m & (A_c == s2))[..., None, None]
+            Y = Y + jnp.where(m, X[:, s : s + rows, s2 : s2 + cols], 0)
+
+    Z = jnp.zeros((2, rows, cols, 24, 32), jnp.int32)
+    for b in range(8):                       # patch rows = tile B..B+24
+        m = (B_r == b)[..., None, None]
+        Z = Z + jnp.where(m, Y[:, :, :, b : b + 24, :], 0)
+    P = jnp.zeros((2, rows, cols, 24, 24), jnp.int32)
+    for b in range(8):
+        m = (B_c == b)[..., None, None]
+        P = P + jnp.where(m, Z[..., b : b + 24], 0)
+    return P
+
+
+def _chroma_ext16(ref_u, ref_v, mv8, pix_max):
+    """Extended 16x16 chroma MC of both planes with the normative 4-TAP
+    bank (spec 7.11.3.4 — the 4x4 chroma of 8x8 inter blocks): Ec[p, r,
+    c][a, b] = MC of chroma pixel (8r + a - 4, 8c + b - 4) at the
+    block's mv8 (1/16-pel chroma units), so the [4:12, 4:12] center is
+    the block's own 4-tap chroma prediction and the 4-px ring covers
+    adjacent sub-blocks."""
+    mv_int = jnp.stack([mv8[..., 0] >> 4, mv8[..., 1] >> 4], -1)
+    fy = mv8[..., 0] & 15
+    fx = mv8[..., 1] & 15
+    ref2 = jnp.stack([ref_u, ref_v])
+    patch = _chroma_patches24_select(ref2, mv_int)  # (2,rows,cols,24,24)
+    bank = jnp.asarray(_subpel_bank4())
+    tx = bank[fx]                          # (rows, cols, 8)
+    ty = bank[fy]
+    hor = jnp.zeros(patch.shape[:3] + (24, 16), jnp.int32)
+    for k in range(8):
+        hor = hor + (tx[None, :, :, k, None, None]
+                     * patch[..., :, k + 1 : k + 17])
+    hor = (hor + 4) >> 3                   # InterRound0
+    out = jnp.zeros(patch.shape[:3] + (16, 16), jnp.int32)
+    for k in range(8):
+        out = out + (ty[None, :, :, k, None, None]
+                     * hor[..., k + 1 : k + 17, :])
+    return jnp.clip((out + 1024) >> 11, 0, pix_max)  # InterRound1
 
 
 _SUB8_NONPARENT_BITS = 10.0   # NEWMV diff / DRL cost of a sub-block MV
@@ -590,21 +659,23 @@ def _unquads(b, n: int):
             .reshape(rows, cols, 2 * n, 2 * n))
 
 
-def _sub8_stage(y, ref_y, ref_u, ref_v, mv16, pred_b16, lam, pix_max):
+def _sub8_stage(y, ref_y, ref_u, ref_v, mv16, pred_b16, p40, mv_px, lam,
+                pix_max):
     """Per-8x8 sub-block MV selection for motion boundaries.
 
     A 16x16 block straddling an object edge motion-compensates one side
     wrongly no matter which MV it picks (VERDICT r2: the synth corpus box
     ring re-codes every frame).  Candidates per 8x8 sub-block: the parent
     16-block's MV (prediction free from the parent sweep), the zero MV
-    (free slice of the reference), and the 4 edge-neighbor blocks' MVs —
-    at a boundary the far-side sub-blocks pick the neighbor's motion,
-    which the MV stack then signals nearly free.  Each candidate field
-    lives on the 16-grid, so its luma preds are quadrants of one 16-grid
-    MC pass (_mc16_at) and its chroma preds are quadrants of one 4-tap
-    _chroma_mc_pair pass — all normative MC outputs, bit-exact vs the
-    engine (the 4x4 chroma of an 8x8 inter block takes the 4-tap bank,
-    spec 7.11.3.4).
+    (free slice of the reference), and the ADJACENT neighbor blocks' MVs
+    (vertical neighbor for the touching half, horizontal for the other
+    axis) — at a boundary the far-side sub-blocks pick the neighbor's
+    motion, which the MV stack then signals nearly free.  All candidate
+    predictions are slices of ONE extended 32x32 luma MC pass (_mc_ext32,
+    reusing the search's 40x40 patches) and ONE extended 16x16 4-tap
+    chroma pass (_chroma_ext16) — normative MC outputs, bit-exact vs the
+    engine.  At frame edges the neighbor candidates degenerate to the
+    parent (pred and MV stay consistent).
 
     Returns dict: mv8 (rows8, cols8, 2) 1/8-pel, pred (rows8, cols8, 8,
     8) luma, pred_uv (2, rows8, cols8, 4, 4), mv_bits (rows8, cols8)."""
@@ -613,6 +684,37 @@ def _sub8_stage(y, ref_y, ref_u, ref_v, mv16, pred_b16, lam, pix_max):
     pred_p = _quads(pred_b16, 8)
     rep2 = lambda a: jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
     mv_p = rep2(mv16)
+
+    E = _mc_ext32(p40, mv16, mv_px, pix_max)          # (rows, cols, 32, 32)
+    Ec = _chroma_ext16(ref_u, ref_v, mv16, pix_max)   # (2, rows, cols, 16, 16)
+
+    # ---- vertical-adjacent candidate: qr=0 reads the up neighbor's
+    # bottom ring, qr=1 the down neighbor's top ring; frame edges fall
+    # back to the parent's own quadrant (whose MV the shift also yields)
+    top = jnp.concatenate([E[:1, :, 8:16, 8:24],
+                           E[:-1, :, 24:32, 8:24]], axis=0)
+    bot = jnp.concatenate([E[1:, :, 0:8, 8:24],
+                           E[-1:, :, 16:24, 8:24]], axis=0)
+    vp = jnp.stack([top, bot], axis=1).reshape(2 * rows, cols, 8, 16)
+    vpred = (vp.reshape(2 * rows, cols, 8, 2, 8).transpose(0, 1, 3, 2, 4)
+             .reshape(2 * rows, 2 * cols, 8, 8))
+    mvu = jnp.concatenate([mv16[:1], mv16[:-1]], 0)
+    mvd = jnp.concatenate([mv16[1:], mv16[-1:]], 0)
+    vmv = jnp.repeat(jnp.stack([mvu, mvd], axis=1)
+                     .reshape(2 * rows, cols, 2), 2, axis=1)
+
+    # ---- horizontal-adjacent candidate (same along columns)
+    lef = jnp.concatenate([E[:, :1, 8:24, 8:16],
+                           E[:, :-1, 8:24, 24:32]], axis=1)
+    rig = jnp.concatenate([E[:, 1:, 8:24, 0:8],
+                           E[:, -1:, 8:24, 16:24]], axis=1)
+    hp = jnp.stack([lef, rig], axis=2).reshape(rows, 2 * cols, 16, 8)
+    hpred = (hp.reshape(rows, 2 * cols, 2, 8, 8).transpose(0, 2, 1, 3, 4)
+             .reshape(2 * rows, 2 * cols, 8, 8))
+    mvl = jnp.concatenate([mv16[:, :1], mv16[:, :-1]], 1)
+    mvr = jnp.concatenate([mv16[:, 1:], mv16[:, -1:]], 1)
+    hmv = jnp.repeat(jnp.stack([mvl, mvr], axis=2)
+                     .reshape(rows, 2 * cols, 2), 2, axis=0)
 
     best_cost = jnp.abs(src8 - pred_p).sum(axis=(2, 3)).astype(jnp.float32)
     best_mv = mv_p                        # parent pays no extra signaling
@@ -632,30 +734,30 @@ def _sub8_stage(y, ref_y, ref_u, ref_v, mv16, pred_b16, lam, pix_max):
     # candidate 1 — zero MV: the co-located reference block, no filter
     consider(1, jnp.zeros_like(mv_p), _to_blocks(ref_y, 8),
              lam * _MV_BIAS * 4.0)
+    consider(2, vmv, vpred, lam * _MV_BIAS * 6.0)
+    consider(3, hmv, hpred, lam * _MV_BIAS * 6.0)
 
-    # candidates 2-5 — edge-neighbor MV fields (shifts of mv16): one
-    # 16-grid MC pass each, quadrants are the sub-block preds
-    up = jnp.concatenate([mv16[:1], mv16[:-1]], 0)
-    down = jnp.concatenate([mv16[1:], mv16[-1:]], 0)
-    left = jnp.concatenate([mv16[:, :1], mv16[:, :-1]], 1)
-    right = jnp.concatenate([mv16[:, 1:], mv16[:, -1:]], 1)
-    fields = [mv16, up, down, left, right]           # [parent, n...]
-    used = [mv16]
-    for i, f in enumerate(fields[1:]):
-        mv_u, pred16 = _mc16_at(ref_y, f, pix_max)
-        used.append(mv_u)
-        consider(2 + i, rep2(mv_u), _quads(pred16, 8),
-                 lam * _MV_BIAS * 6.0)
-
-    # chroma: one 4-tap pair pass per candidate field, selected per
-    # sub-block by the winner index (zero MV = co-located planes)
-    qpair = lambda a: jnp.stack([_quads(a[0], 4), _quads(a[1], 4)])
-    pred_uv = qpair(jnp.stack([_to_blocks(ref_u, 8),
-                               _to_blocks(ref_v, 8)]))  # candidate 1
-    bank4 = jnp.asarray(_subpel_bank4())
-    for i, f in zip((0, 2, 3, 4, 5), used):
-        cu, cv = _chroma_mc_pair(ref_u, ref_v, f, pix_max, bank=bank4)
-        cand = qpair(jnp.stack([cu, cv]))
+    # ---- chroma: slices of Ec / the reference, selected by winner index
+    qc = lambda a: jnp.stack([_quads(a[0], 4), _quads(a[1], 4)])
+    pred_uv = qc(Ec[:, :, :, 4:12, 4:12])             # parent (4-tap)
+    zero_uv = qc(jnp.stack([_to_blocks(ref_u, 8), _to_blocks(ref_v, 8)]))
+    ctop = jnp.concatenate([Ec[:, :1, :, 4:8, 4:12],
+                            Ec[:, :-1, :, 12:16, 4:12]], axis=1)
+    cbot = jnp.concatenate([Ec[:, 1:, :, 0:4, 4:12],
+                            Ec[:, -1:, :, 8:12, 4:12]], axis=1)
+    cv = jnp.stack([ctop, cbot], axis=2).reshape(2, 2 * rows, cols, 4, 8)
+    cvpred = (cv.reshape(2, 2 * rows, cols, 4, 2, 4)
+              .transpose(0, 1, 2, 4, 3, 5)
+              .reshape(2, 2 * rows, 2 * cols, 4, 4))
+    clef = jnp.concatenate([Ec[:, :, :1, 4:12, 4:8],
+                            Ec[:, :, :-1, 4:12, 12:16]], axis=2)
+    crig = jnp.concatenate([Ec[:, :, 1:, 4:12, 0:4],
+                            Ec[:, :, -1:, 4:12, 8:12]], axis=2)
+    ch = jnp.stack([clef, crig], axis=3).reshape(2, rows, 2 * cols, 8, 4)
+    chpred = (ch.reshape(2, rows, 2 * cols, 2, 4, 4)
+              .transpose(0, 1, 3, 2, 4, 5)
+              .reshape(2, 2 * rows, 2 * cols, 4, 4))
+    for i, cand in ((1, zero_uv), (2, cvpred), (3, chpred)):
         m = (best_idx == i)[None, :, :, None, None]
         pred_uv = jnp.where(m, cand, pred_uv)
 
@@ -708,7 +810,10 @@ def _search_mv(y, ref_y, lam, pix_max):
     at full resolution for every block (rescues blocks whose quarter-res
     SAD landscape aliased into a wrong basin — periodic texture — and
     coalesces the field so the MV stack codes it nearly free), then the
-    quarter-pel subpel sweep.  Returns (mv8 1/8-pel, pred_y, src_b)."""
+    quarter-pel subpel sweep.  Returns (mv8 1/8-pel, pred_y, src_b,
+    (p40, mv_px)) — the 40x40 patches and full-pel winner feed the 8x8
+    sub-block stage's extended MC (_mc_ext32) without a second patch
+    assembly."""
     src_q = _block_sad(y, 4) // 16         # 4x4 mean pool (exact ints /16)
     ref_q = _block_sad(ref_y, 4) // 16
     coarse, shifts4 = _coarse_search(src_q, ref_q, lam * _MV_BIAS / 16.0,
@@ -727,9 +832,10 @@ def _search_mv(y, ref_y, lam, pix_max):
     # same decomposition — keep the pair for subpel patch assembly
     coarse_f = jnp.where(snap[..., None], c0[None, None], coarse)
     off_f = mv_px - coarse_f
-    p24 = _patches24_select(ref_y, coarse_f, off_f)
-    mv8, pred_y = _subpel_refine(src_b, p24, mv_px, lam, pix_max)
-    return mv8, pred_y, src_b
+    p40 = _patches40_select(ref_y, coarse_f, off_f)
+    mv8, pred_y = _subpel_refine(src_b, p40[..., 8:32, 8:32], mv_px, lam,
+                                 pix_max)
+    return mv8, pred_y, src_b, (p40, mv_px)
 
 
 @functools.partial(jax.jit, static_argnames=("bit_depth",))
@@ -746,7 +852,7 @@ def encode_inter_v(y, u, v, ref_y, ref_u, ref_v, qindex,
     # lambda from the intra partition tuning, sqrt for the L1 domain)
 
     pix_max = (1 << bit_depth) - 1
-    mv8, pred_y, src_b = _search_mv(y, ref_y, lam, pix_max)
+    mv8, pred_y, src_b, _ = _search_mv(y, ref_y, lam, pix_max)
 
     # luma prediction came out of the subpel sweep (normative 8-tap MC);
     # chroma is interpolated at 1/16-pel chroma resolution
@@ -1124,13 +1230,13 @@ def encode_inter_part(y, u, v, ref_y, ref_u, ref_v, qindex,
     lam = (ac * ac * 0.0234) ** 0.5
 
     pix_max = (1 << bit_depth) - 1
-    mv8, pred_y, src_b = _search_mv(y, ref_y, lam, pix_max)
+    mv8, pred_y, src_b, (p40, mv_px) = _search_mv(y, ref_y, lam, pix_max)
     pred_u, pred_v = _chroma_mc_pair(ref_u, ref_v, mv8, pix_max)
 
     s8 = None
     if sub8:
-        s8 = _sub8_stage(y, ref_y, ref_u, ref_v, mv8, pred_y, lam,
-                         pix_max)
+        s8 = _sub8_stage(y, ref_y, ref_u, ref_v, mv8, pred_y, p40, mv_px,
+                         lam, pix_max)
 
     out = _inter_partition(src_b, pred_y,
                            (_to_blocks(u, 8), _to_blocks(v, 8)),

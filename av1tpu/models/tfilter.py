@@ -56,7 +56,7 @@ def _tf_body(key_fused, neigh_fused, height: int, width: int,
     for j in range(neigh_fused.shape[0]):
         nyp, nup, nvp = _unfuse(neigh_fused[j], height, width)
         # warp neighbor j onto the keyframe grid (predict key FROM j)
-        mv8, pred_y, _ = _search_mv(ky, nyp, jnp.float32(4.0), pix_max)
+        mv8, pred_y, *_ = _search_mv(ky, nyp, jnp.float32(4.0), pix_max)
         pred_u, pred_v = _chroma_mc_pair(nup, nvp, mv8, pix_max)
         pred_yp = (pred_y.transpose(0, 2, 1, 3)
                    .reshape(height, width))

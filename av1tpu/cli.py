@@ -226,13 +226,14 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
     def pack_inter_tile(buf, q, cdfs_c, cdef_s):
         """Split + pack one inter frame's compact buffer into a TU."""
         if partitions:
-            (count, bm, vals, s16, s32, s64,
+            (count, bm, vals, s16, s32, s64, ref16,
              mv) = split_compact_inter_part(buf, ch, cw)
             if count > len(vals):
                 raise _CapacityExceeded(count)
             tile = packer.pack_tile_inter_part(
                 bm, vals, s32, s64, mv, ch, cw, q,
-                cdf_in=cdfs_c, cdf_out=cdfs_c, split16=s16)
+                cdf_in=cdfs_c, cdf_out=cdfs_c, split16=s16,
+                refs=ref16 if ref16.any() else None)
         else:
             count, bm, vals, mv = split_compact_inter(buf, ch, cw)
             if count > len(vals):
@@ -244,7 +245,8 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
         return _wrap_tu_inter(
             tile, cw, ch, width, height, q, bd,
             lf=(ilf[0], ilf[0], ilf[2], ilf[3]), primary_ref=0,
-            cdf_save=True, cdef=tuple(int(x) for x in cdef_s))
+            cdf_save=True, cdef=tuple(int(x) for x in cdef_s),
+            golden=partitions)
 
     n_dev = jax.device_count()
     if gop and workers > 1 and n_dev > 1 and len(segments) > 1:
@@ -426,6 +428,9 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                 with clock("upload"):
                     return k, jax.device_put(fused)
 
+            # GOLDEN = the scene keyframe's filtered recon (ref slot 1),
+            # device-resident and constant across the scene's inter chain
+            gld = ref if partitions else None
             nxt = prep(bases[0]) if bases else None
             for bi, base in enumerate(bases):
                 k, fused_dev = nxt
@@ -435,7 +440,7 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                     with clock("inter_dispatch"):
                         bufs, ref = gop_fn(fused_dev, ref_in,
                                            q, ch, cw, cap=cap, lf=inter_lf,
-                                           cdef_s=cdef_j)
+                                           cdef_s=cdef_j, gld_fused=gld)
                     if first:  # prefetch chunk N+1 behind N's compute
                         nxt = (prep(bases[bi + 1])
                                if bi + 1 < len(bases) else None)
@@ -451,29 +456,9 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                             # pack overlap frames i+1..'s TPU compute
                             with clock("inter_fetch"):
                                 buf = np.asarray(bufs[i])
-                            if partitions:
-                                (count, bm, vals, s16, s32, s64,
-                                 mv) = split_compact_inter_part(buf, ch, cw)
-                                if count > len(vals):
-                                    raise _CapacityExceeded(count)
-                                tile = packer.pack_tile_inter_part(
-                                    bm, vals, s32, s64, mv, ch, cw, q,
-                                    cdf_in=cdfs_c, cdf_out=cdfs_c,
-                                    split16=s16)
-                            else:
-                                count, bm, vals, mv = split_compact_inter(
-                                    buf, ch, cw)
-                                if count > len(vals):
-                                    raise _CapacityExceeded(count)
-                                tile = packer.pack_tile_inter(
-                                    bm, vals, mv, ch, cw, q,
-                                    cdf_in=cdfs_c, cdf_out=cdfs_c)
-                            tus.append(_wrap_tu_inter(
-                                tile, cw, ch, width, height, q, bd,
-                                lf=(inter_lf[0], inter_lf[0], inter_lf[1],
-                                    inter_lf[2]), primary_ref=0,
-                                cdf_save=True,
-                                cdef=tuple(int(x) for x in cdef_s)))
+                            with clock("inter_pack"):
+                                tus.append(pack_inter_tile(buf, q, cdfs_c,
+                                                           cdef_s))
                         break
                     except _CapacityExceeded as e:
                         cap = min(max(cap * 2, e.count), ncoef)
@@ -587,7 +572,8 @@ def _wrap_tu(tile: bytes, coded_w: int, coded_h: int, render_w: int,
 def _wrap_tu_inter(tile: bytes, coded_w: int, coded_h: int, render_w: int,
                    render_h: int, qindex: int, bit_depth: int = 8,
                    lf=(0, 0, 0, 0), primary_ref: int | None = None,
-                   cdf_save: bool = False, cdef=None) -> bytes:
+                   cdf_save: bool = False, cdef=None,
+                   golden: bool = False) -> bytes:
     from av1tpu.spec.bits import BitWriter
     from av1tpu.spec.encode_frame import (
         EncoderConfig, make_frame_header_inter, make_sequence_header,
@@ -598,7 +584,9 @@ def _wrap_tu_inter(tile: bytes, coded_w: int, coded_h: int, render_w: int,
     cfg = EncoderConfig(base_q_idx=qindex, bit_depth=bit_depth,
                         loop_filter_level=tuple(lf), **_cdef_cfg_kw(cdef))
     seq = make_sequence_header(coded_w, coded_h, cfg)
-    fh = make_frame_header_inter(seq, cfg)
+    # golden: GOLDEN maps to slot 1, which holds the scene keyframe (the
+    # keyframe refreshes every slot; inter frames refresh only slot 0)
+    fh = make_frame_header_inter(seq, cfg, golden=golden)
     if primary_ref is not None:  # CDFs carried from LAST's saved state
         fh.primary_ref_frame = primary_ref
     if cdf_save:

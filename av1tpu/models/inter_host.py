@@ -90,6 +90,12 @@ class InterPartReplayPlanner(Planner):
 
     def __init__(self, out: dict):
         self.o = {k: np.asarray(v) for k, v in out.items()}
+        if "ref16" in self.o and "ref_map" not in self.o:
+            # per-16-block LAST/GOLDEN choice from the TPU pipeline
+            # (encode_inter_part gld_*); the engine must then be given
+            # golden_recon (encode_frame.encode_interframe)
+            self.o["ref_map"] = np.where(self.o["ref16"], GOLDEN_FRAME,
+                                         LAST_FRAME)
 
     def partition_choice(self, tc, r, c, bsize):
         from av1tpu.spec.enums import BLOCK_16X16, BLOCK_32X32

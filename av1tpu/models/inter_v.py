@@ -975,13 +975,15 @@ def _fwd64_inter():
 
 
 def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
-                     bit_depth: int, sub8=None):
+                     bit_depth: int, sub8=None, use_g=None):
     """Partition RDO on top of the 16-grid search results.
 
     src_b/pred_b: (rows, cols, 16, 16) luma; src_cb/pred_cb: pairs of
     (rows, cols, 8, 8) chroma (u, v).  sub8: optional _sub8_stage output
     (per-8x8 candidate MVs/preds) enabling 16->8x8 splits at motion
-    boundaries.  Returns dict of per-size level grids, split maps and
+    boundaries.  use_g: optional (rows, cols) bool — blocks referencing
+    GOLDEN (they never split to 8x8, and 32/64 merges require a uniform
+    reference).  Returns dict of per-size level grids, split maps and
     recon planes (union-layout-ready)."""
     rows, cols = mv8.shape[:2]
     rows32, cols32 = rows // 2, cols // 2
@@ -1014,13 +1016,19 @@ def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
     rm32y, rm16c = RateModel(32, 0), RateModel(16, 1)
     rm64y, rm32c = RateModel(64, 0), RateModel(32, 1)
 
-    # MV equality maps
+    # MV equality maps (and reference uniformity: a merged block codes
+    # ONE ref, so all children must agree)
     eq32 = jnp.all(
         mv8.reshape(rows32, 2, cols32, 2, 2)
         == mv8[::2, ::2][:, None, :, None, :], axis=(1, 3, 4))
     eq64 = jnp.all(
         mv8.reshape(rows64, 4, cols64, 4, 2)
         == mv8[::4, ::4][:, None, :, None, :], axis=(1, 3, 4))
+    if use_g is not None:
+        g32 = use_g.reshape(rows32, 2, cols32, 2).sum(axis=(1, 3))
+        eq32 = eq32 & ((g32 == 0) | (g32 == 4))
+        g64 = use_g.reshape(rows64, 4, cols64, 4).sum(axis=(1, 3))
+        eq64 = eq64 & ((g64 == 0) | (g64 == 16))
 
     from av1tpu.models.rdoq import coef_gains, rd_zero
 
@@ -1071,6 +1079,8 @@ def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
         cost8s = q22(cost8) + lam * _SPLIT_OVERHEAD_BITS
         cost16leaf = d16 + du8 + dv8 + lam * (r16 + ru8 + rv8)
         split16 = cost8s < cost16leaf
+        if use_g is not None:   # golden blocks never split (sub8
+            split16 = split16 & ~use_g  # candidates are all LAST-MC)
     else:
         split16 = jnp.zeros((rows, cols), bool)
 
@@ -1221,11 +1231,20 @@ def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
 
 @functools.partial(jax.jit, static_argnames=("bit_depth",))
 def encode_inter_part(y, u, v, ref_y, ref_u, ref_v, qindex,
-                      bit_depth: int = 8, sub8: bool = True):
+                      bit_depth: int = 8, sub8: bool = True,
+                      gld_y=None, gld_u=None, gld_v=None):
     """Partitioned inter encode: 16-grid motion search, 16->8x8 splits at
     motion boundaries, then 32/64 merge RDO.  Returns per-size level
-    grids, MV grids (per-16 "mv" + per-8 "mv8"), split maps and recon
-    planes."""
+    grids, MV grids (per-16 "mv" + per-8 "mv8"), split maps, a per-16
+    reference map ("ref16": 0=LAST, 1=GOLDEN) and recon planes.
+
+    gld_y/u/v: optional GOLDEN reference planes (the scene keyframe's
+    in-loop-filtered recon, ref slot 1).  Blocks where the co-located
+    GOLDEN block beats the LAST motion-searched prediction switch to
+    ref=GOLDEN at the zero MV — the drift-arrest axis of the reference
+    anchor's alt-ref structure (av1an.rs:14 --lookahead 40): content
+    occluded or noise-drifted along the LAST chain re-anchors to the
+    clean keyframe."""
     ac = _plane_params(qindex, 16, bit_depth)[0][1]
     lam = (ac * ac * 0.0234) ** 0.5
 
@@ -1235,14 +1254,33 @@ def encode_inter_part(y, u, v, ref_y, ref_u, ref_v, qindex,
 
     s8 = None
     if sub8:
+        # pure-LAST stage: golden overrides come after, and golden blocks
+        # never split (their candidates would mix references)
         s8 = _sub8_stage(y, ref_y, ref_u, ref_v, mv8, pred_y, p40, mv_px,
                          lam, pix_max)
+
+    use_g = None
+    if gld_y is not None:
+        gzy = _to_blocks(gld_y, 16)
+        sad_l = jnp.abs(src_b - pred_y).sum(axis=(2, 3)).astype(jnp.float32)
+        sad_g = jnp.abs(src_b - gzy).sum(axis=(2, 3)).astype(jnp.float32)
+        # the ref flag costs ~2 bits and breaking the LAST MV field's
+        # coherence costs neighbors' stack quality: golden must win by a
+        # clear margin
+        use_g = sad_g + lam * _MV_BIAS * 6.0 < sad_l
+        ge = use_g[..., None, None]
+        mv8 = jnp.where(use_g[..., None], 0, mv8)
+        pred_y = jnp.where(ge, gzy, pred_y)
+        pred_u = jnp.where(ge, _to_blocks(gld_u, 8), pred_u)
+        pred_v = jnp.where(ge, _to_blocks(gld_v, 8), pred_v)
 
     out = _inter_partition(src_b, pred_y,
                            (_to_blocks(u, 8), _to_blocks(v, 8)),
                            (pred_u, pred_v), mv8, qindex, bit_depth,
-                           sub8=s8)
+                           sub8=s8, use_g=use_g)
     out["mv"] = mv8
+    out["ref16"] = (use_g if use_g is not None
+                    else jnp.zeros(mv8.shape[:2], bool))
     return out
 
 
@@ -1255,12 +1293,15 @@ def inter_part_sizes(height: int, width: int):
 
 
 def _gop_step_part_body(frame_u8, ref_fused, qindex, height: int,
-                        width: int, cap: int, lf3=None, cdef_s=None):
+                        width: int, cap: int, lf3=None, cdef_s=None,
+                        gld_fused=None):
     """Partitioned _gop_step body: one inter frame, union-layout compact
-    transport [count, bitmap, vals, split32, split64, mv_y, mv_x].
-    lf3/cdef_s may be traced (see _gop_step_body); the in-loop filter
-    chain is deblock -> CDEF exactly as the decoder runs it, with the
-    skip gating recomputed from the same level grids the packer codes."""
+    transport [count, bitmap, vals, split16, split32, split64, ref16,
+    mv_y, mv_x].  lf3/cdef_s may be traced (see _gop_step_body); the
+    in-loop filter chain is deblock -> CDEF exactly as the decoder runs
+    it, with the skip gating recomputed from the same level grids the
+    packer codes.  gld_fused: optional fused GOLDEN reference (the
+    scene keyframe's filtered recon) enabling per-block LAST/GOLDEN."""
     from av1tpu.models.intra_part import (
         _embed64, _merge_quads, _merge_tiles4,
     )
@@ -1277,8 +1318,12 @@ def _gop_step_part_body(frame_u8, ref_fused, qindex, height: int,
 
     yy, uu, vv = unfuse(frame_u8)
     ry, ru, rv = unfuse(ref_fused)
+    gkw = {}
+    if gld_fused is not None:
+        gy, gu, gv = unfuse(gld_fused)
+        gkw = {"gld_y": gy, "gld_u": gu, "gld_v": gv}
     o = encode_inter_part(yy, uu, vv, ry, ru, rv, qindex,
-                          bit_depth=bit_depth)
+                          bit_depth=bit_depth, **gkw)
     y16 = _merge_quads(o["lv16"], o["lv32"], 16)
     y16 = _embed64(y16, o["lv64"])
     u8 = _merge_quads(o["lu8"], o["lu16"], 8)
@@ -1302,6 +1347,7 @@ def _gop_step_part_body(frame_u8, ref_fused, qindex, height: int,
         o["split16"].reshape(-1).astype(jnp.int16),
         o["split32"].reshape(-1).astype(jnp.int16),
         o["split64"].reshape(-1).astype(jnp.int16),
+        o["ref16"].reshape(-1).astype(jnp.int16),
         o["mv8"][..., 0].reshape(-1).astype(jnp.int16),
         o["mv8"][..., 1].reshape(-1).astype(jnp.int16)])
     rcy, rcu, rcv = o["recon_y"], o["recon_u"], o["recon_v"]
@@ -1335,39 +1381,41 @@ def _gop_step_part_body(frame_u8, ref_fused, qindex, height: int,
 @functools.partial(jax.jit,
                    static_argnames=("height", "width", "cap", "lf"))
 def _gop_step_part(frame_u8, ref_fused, qindex, height: int, width: int,
-                   cap: int, lf=None, cdef_s=None):
+                   cap: int, lf=None, cdef_s=None, gld_fused=None):
     """Jit of _gop_step_part_body with static lf levels (the single-device
     CLI path)."""
     lf3 = jnp.asarray(lf, jnp.int32) if (lf is not None and any(lf)) \
         else None
     return _gop_step_part_body(frame_u8, ref_fused, qindex, height, width,
-                               cap, lf3, cdef_s)
+                               cap, lf3, cdef_s, gld_fused)
 
 
 def encode_gop_chunk_part(frames_u8, ref_fused, qindex, height: int,
                           width: int, cap: int = 131072, lf=None,
-                          cdef_s=None):
+                          cdef_s=None, gld_fused=None):
     """Partitioned counterpart of encode_gop_chunk (host loop, device
-    carry, per-frame buffers fetchable while later frames compute)."""
+    carry, per-frame buffers fetchable while later frames compute).
+    gld_fused: optional GOLDEN reference (the scene keyframe's filtered
+    recon), constant across the scene."""
     frames_u8 = jnp.asarray(frames_u8)
     bufs = []
     ref = ref_fused
     for k in range(frames_u8.shape[0]):
         buf, ref = _gop_step_part(frames_u8[k], ref, qindex, height, width,
-                                  cap, lf, cdef_s)
+                                  cap, lf, cdef_s, gld_fused)
         bufs.append(buf)
     return bufs, ref
 
 
 def split_compact_inter_part(buf: np.ndarray, height: int, width: int):
     """Host split -> (count, bitmap u16, vals i16, split16, split32,
-    split64, mv (r8, c8, 2) i32 per-8-block)."""
+    split64, ref16, mv (r8, c8, 2) i32 per-8-block)."""
     nb, nb32, nb64, ncoef = inter_part_sizes(height, width)
     nb8 = 4 * nb
     nwords = ncoef // 16
     count = int(buf[0]) | (int(buf[1]) << 15)
     bitmap = buf[2 : 2 + nwords].view(np.uint16)
-    tail = nb + nb32 + nb64 + 2 * nb8
+    tail = 2 * nb + nb32 + nb64 + 2 * nb8
     vals = buf[2 + nwords : len(buf) - tail]
     meta = buf[len(buf) - tail :]
     split16 = np.asarray(meta[:nb]).reshape(height // 16, width // 16)
@@ -1375,10 +1423,12 @@ def split_compact_inter_part(buf: np.ndarray, height: int, width: int):
         height // 32, width // 32)
     split64 = np.asarray(meta[nb + nb32 : nb + nb32 + nb64]).reshape(
         height // 64, width // 64)
-    mvs = meta[nb + nb32 + nb64 :].astype(np.int32)
+    ref16 = np.asarray(meta[nb + nb32 + nb64 : 2 * nb + nb32 + nb64]
+                       ).reshape(height // 16, width // 16)
+    mvs = meta[2 * nb + nb32 + nb64 :].astype(np.int32)
     mv = np.stack([mvs[:nb8], mvs[nb8:]], axis=-1).reshape(
         height // 8, width // 8, 2)
-    return count, bitmap, vals, split16, split32, split64, mv
+    return count, bitmap, vals, split16, split32, split64, ref16, mv
 
 
 def inter_sizes(height: int, width: int):
@@ -1502,7 +1552,8 @@ def _gop_step(frame_u8, ref_fused, qindex, height: int, width: int,
 
 
 def encode_gop_chunk(frames_u8, ref_fused, qindex, height: int, width: int,
-                     cap: int = 131072, lf=None, cdef_s=None):
+                     cap: int = 131072, lf=None, cdef_s=None,
+                     gld_fused=None):
     """Encode a chunk of inter frames against a running reconstruction.
 
     frames_u8: (K, n_pixels) fused sources (uint8/uint16; see
@@ -1513,6 +1564,7 @@ def encode_gop_chunk(frames_u8, ref_fused, qindex, height: int, width: int,
     minutes of XLA time on the remote compile path), dispatches are async
     so frame k's transfer overlaps frame k+1's compute, and the recon
     carry never leaves the device."""
+    assert gld_fused is None, "two-ref coding needs the partitioned path"
     frames_u8 = jnp.asarray(frames_u8)
     bufs = []
     ref = ref_fused

@@ -76,11 +76,19 @@ def _scenes_cdef(refs, srcs, skip8s, height: int, width: int,
 @functools.partial(jax.jit,
                    static_argnames=("height", "width", "cap", "part"))
 def _scenes_step(frames, refs, qs, lf3s, cdefs, height: int, width: int,
-                 cap: int, part: bool):
-    """One batched inter step: (S, n_pix) frames against (S, n_pix) refs."""
-    body = _gop_step_part_body if part else _gop_step_body
+                 cap: int, part: bool, glds=None):
+    """One batched inter step: (S, n_pix) frames against (S, n_pix) refs.
+    glds: optional (S, n_pix) GOLDEN references (the filtered keyframes)
+    for per-block two-ref coding (partitioned path only)."""
+    if part:
+        assert glds is not None
+        return jax.vmap(
+            lambda f, r, q, l, c, g: _gop_step_part_body(
+                f, r, q, height, width, cap, l, c, g)
+        )(frames, refs, qs, lf3s, cdefs, glds)
     return jax.vmap(
-        lambda f, r, q, l, c: body(f, r, q, height, width, cap, l, c)
+        lambda f, r, q, l, c: _gop_step_body(f, r, q, height, width, cap,
+                                             l, c)
     )(frames, refs, qs, lf3s, cdefs)
 
 
@@ -147,6 +155,7 @@ class SceneBatchEncoder:
         refs, cdefs = _scenes_cdef(refs, f0d, _shard(self.mesh, skip8s),
                                    self.h, self.w, self.bd)
         cdef_np = np.asarray(cdefs)
+        glds = refs  # GOLDEN slot 1: the filtered keyframes, scene-constant
 
         iqs = jnp.asarray([s["q"] for s in self.scenes], jnp.int32)
         ilf = jnp.asarray([s["inter_lf"] for s in self.scenes], jnp.int32)
@@ -170,7 +179,8 @@ class SceneBatchEncoder:
             ft = _shard(self.mesh,
                         np.stack([self._frame(s, t) for s in range(S)]))
             bufs, refs = _scenes_step(ft, refs, iqs_d, ilf_d, cdefs,
-                                      self.h, self.w, inter_cap, part)
+                                      self.h, self.w, inter_cap, part,
+                                      glds=glds if part else None)
             final_refs = _freeze_final(final_refs, refs, lens_d, t)
             if pending is not None:
                 collect(*pending)

@@ -99,10 +99,11 @@ def test_gop_chunk_part_transport_roundtrip():
         o = {kk: np.asarray(v) for kk, v in encode_inter_part(
             clip.y[k + 1].astype(np.int32), clip.u[k + 1].astype(np.int32),
             clip.v[k + 1].astype(np.int32), *prev, q).items()}
-        (count, bm, vals, sp16, sp32, sp64,
+        (count, bm, vals, sp16, sp32, sp64, rf16,
          mv) = split_compact_inter_part(np.asarray(bufs[k]), 64, 128)
         assert count <= len(vals)
         assert np.array_equal(sp16.astype(bool), o["split16"])
+        assert np.array_equal(rf16.astype(bool), o["ref16"])
         assert np.array_equal(sp32.astype(bool), o["split32"])
         assert np.array_equal(sp64.astype(bool), o["split64"])
         assert np.array_equal(mv, o["mv8"])

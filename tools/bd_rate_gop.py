@@ -150,9 +150,15 @@ def main():
     ap.add_argument("--width", type=int, default=1280)
     ap.add_argument("--height", type=int, default=720)
     ap.add_argument("--frames", type=int, default=32)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the sitecustomize-forced "
+                         "axon platform hangs when the TPU tunnel is down)")
     ap.add_argument("--out", default=os.path.join(REPO, "benchmarks",
                                                   "quality_gop.json"))
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     results = {"corpus": {"width": args.width, "height": args.height,
                           "frames": args.frames},

@@ -127,11 +127,14 @@ def main():
     cdfs = packer.new_cdf_blob()
 
     def pack_inter(buf):
-        count, bm, vals, s16, s32, s64, mv = split_compact_inter_part(
+        (count, bm, vals, s16, s32, s64, ref16,
+         mv) = split_compact_inter_part(
             buf, ch, cw)
         return packer.pack_tile_inter_part(bm, vals, s32, s64, mv, ch, cw,
                                            q, cdf_in=cdfs, cdf_out=cdfs,
-                                           split16=s16)
+                                           split16=s16,
+                                           refs=ref16 if ref16.any()
+                                           else None)
 
     dt, _ = t(lambda: pack_inter(bufs_np[0]))
     res["inter_host_pack_per_frame"] = dt

@@ -212,11 +212,14 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             count, bm, vals, modes = split_compact(buf, ch, cw)
             if count > len(vals):
                 raise _CapacityExceeded(count)
-            # the wavefront pipeline codes chroma DC_PRED (0)
+            # the wavefront pipeline codes chroma DC_PRED (0) and derives
+            # each luma block's tx_type from its mode (Mode_To_Txfm)
             tile = packer.pack_tile_compact(bm, vals, ch, cw, q,
                                             modes=modes,
                                             uv_mode=0 if kind == "wave"
-                                            else 1, cdf_out=cdf_out)
+                                            else 1,
+                                            tx_from_mode=kind == "wave",
+                                            cdf_out=cdf_out)
         return _wrap_tu(tile, cw, ch, width, height, q, bd,
                         lf=(lf[0], lf[0], lf[1], lf[2]),
                         cdf_save=cdf_out is not None, cdef=cdef)

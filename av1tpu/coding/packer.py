@@ -73,7 +73,7 @@ class Packer:
                         ctypes.POINTER(ctypes.c_int16),
                         ctypes.POINTER(ctypes.c_int16),
                         ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                        ctypes.c_int, ctypes.c_int,
+                        ctypes.c_int, ctypes.c_int, ctypes.c_int,
                         ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
                         _I32P, _I32P]
         self._fn2u = f2u
@@ -117,13 +117,15 @@ class Packer:
                           height: int, width: int, qindex: int,
                           disable_cdf_update: bool = False,
                           modes: np.ndarray | None = None,
-                          uv_mode: int = 1,
+                          uv_mode: int = 1, tx_from_mode: bool = False,
                           cdf_in: np.ndarray | None = None,
                           cdf_out: np.ndarray | None = None) -> bytes:
         """Pack from the compact form produced by encode_intra_v_compact:
         significance bitmap (uint16 words) + nonzero values (int16) +
         optional per-block luma modes (None = all V_PRED) + a frame-wide
         chroma mode (V_PRED default; the wavefront pipeline uses DC).
+        tx_from_mode: luma tx_type derived from the mode (Mode_To_Txfm —
+        the wavefront ADST pipeline); False = DCT everywhere.
         height/width: padded luma dims (multiples of 64)."""
         bm = np.ascontiguousarray(bitmap, np.uint16)
         vv = np.ascontiguousarray(vals, np.int16)
@@ -138,7 +140,7 @@ class Packer:
         out = (ctypes.c_uint8 * cap)()
         n = self._fn2u(bm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
                        vv.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-                       mptr, uv_mode,
+                       mptr, uv_mode, int(tx_from_mode),
                        mi_rows, mi_cols, qindex, int(disable_cdf_update),
                        out, cap, *self._cdf_ptrs(cdf_in, cdf_out))
         if n == 0:

@@ -39,6 +39,20 @@ WAVE_MODES = (DC_PRED, V_PRED, H_PRED, D45_PRED, D67_PRED, SMOOTH_PRED,
 # per-mode signaling bits from the kf_y_mode CDFs, context-averaged
 # (av1tpu/models/rates.py kf_mode_bits) — replaces hand-set constants
 
+# luma residuals are coded with the mode's derived transform (spec
+# Mode_To_Txfm): vertical prediction leaves horizontally-smooth residual
+# ramps ADST models better than DCT, etc.  Modes grouped by tx type so
+# each group is one batched matmul; tx values are the spec enums
+# (DCT_DCT=0, ADST_DCT=1, DCT_ADST=2, ADST_ADST=3).  The C++ packer and
+# the engine replay derive the same mapping from the coded mode.
+_TX_GROUPS = (
+    (0, (0, 3)),        # DC, D45        -> DCT_DCT
+    (1, (1, 4, 6)),     # V, D67, SMOOTH_V -> ADST_DCT
+    (2, (2, 7)),        # H, SMOOTH_H    -> DCT_ADST
+    (3, (5, 8)),        # SMOOTH, PAETH  -> ADST_ADST
+)
+_TX_ORDER = tuple(i for _, idxs in _TX_GROUPS for i in idxs)
+
 
 def _r2(x, n):
     return (x + (1 << (n - 1))) >> n
@@ -200,7 +214,8 @@ def encode_intra_wave(y, u, v, qindex, bit_depth: int = 8,
     nd = rows + cols - 1
     L = min(rows, cols)
 
-    fwd16 = jnp.asarray(forward_matrix(16, 16, 0))
+    fwd16t = {t: jnp.asarray(forward_matrix(16, 16, t))
+              for t, _ in _TX_GROUPS}
     fwd8 = jnp.asarray(forward_matrix(8, 8, 0))     # chroma DC -> DCT
     step16, q16, cap16 = _plane_params(qindex, 16, bit_depth)
     step8, q8, cap8 = _plane_params(qindex, 8, bit_depth)
@@ -208,8 +223,10 @@ def encode_intra_wave(y, u, v, qindex, bit_depth: int = 8,
     lam = (ac * ac * 0.0234 * lam_scale).astype(jnp.float32)
     from av1tpu.models.rates import RateModel, kf_mode_bits, qctx_index
 
-    mode_bits = jnp.asarray(kf_mode_bits()[list(WAVE_MODES)])
-    mode_vals = jnp.asarray(WAVE_MODES, jnp.int8)
+    # mode candidates in _TX_ORDER (grouped by derived transform)
+    mode_bits = jnp.asarray(
+        kf_mode_bits()[[WAVE_MODES[i] for i in _TX_ORDER]])
+    mode_vals = jnp.asarray([WAVE_MODES[i] for i in _TX_ORDER], jnp.int8)
     qctx = qctx_index(qindex)
     rm16y = RateModel(16, 0)
 
@@ -231,11 +248,14 @@ def encode_intra_wave(y, u, v, qindex, bit_depth: int = 8,
     from av1tpu.models.rdoq import coef_gains, rd_zero
 
     rm8c = RateModel(8, 1)
-    g16, g8 = jnp.asarray(coef_gains(16)), jnp.asarray(coef_gains(8))
+    g16t = {t: jnp.asarray(coef_gains(16, t)) for t, _ in _TX_GROUPS}
+    g8 = jnp.asarray(coef_gains(8))
 
-    def code_blocks(src, pred, fwd, stepq, q, cap, n, rm=None):
+    def code_blocks(src, pred, fwd, stepq, q, cap, n, rm=None, tx=0,
+                    gains=None):
         """(..., n, n) -> levels, recon, dist, rate.  rm: optional
         rates.RateModel (real-CDF expected bits; else the log2 proxy).
+        tx/gains: transform type + its coefficient gains (luma groups).
         Near-threshold levels are RD-pruned against the frame lambda
         (rdoq.rd_zero) — on noisy sources this is what keeps the
         keyframe from coding sensor noise coefficient by coefficient."""
@@ -245,11 +265,11 @@ def encode_intra_wave(y, u, v, qindex, bit_depth: int = 8,
         lv = quantize_coefs(coefs, stepq, cap)
         rdm = rm if rm is not None else rm8c
         lv = rd_zero(lv, coefs, q.astype(jnp.float32), lam,
-                     rdm.tabs[qctx], g16 if n == 16 else g8,
+                     rdm.tabs[qctx], gains if gains is not None else g8,
                      noise_gate=jnp.asarray(noise_gate, jnp.float32))
         rec = jnp.clip(pred.reshape(-1, n, n)
                        + inverse_transform((lv * q).reshape(-1, n, n),
-                                           n, n, 0), 0, pix_max)
+                                           n, n, tx), 0, pix_max)
         dist = jnp.sum((rec - src.reshape(-1, n, n)) ** 2,
                        axis=(1, 2)).astype(jnp.float32)
         if rm is not None:
@@ -273,10 +293,17 @@ def encode_intra_wave(y, u, v, qindex, bit_depth: int = 8,
         preds = _predict_modes(above32, left, corner, have_a, have_l,
                                base)                    # (M, L, 16, 16)
         src_b = src_y[r_i, c_i]                         # (L, 16, 16)
-        M = preds.shape[0]
-        srcM = jnp.broadcast_to(src_b[None], preds.shape)
-        lv, rec, dist, rate = code_blocks(srcM, preds, fwd16, step16, q16,
-                                          cap16, 16, rm=rm16y)
+        # per-tx-group residual coding (preds reordered to _TX_ORDER so
+        # the concatenated candidates line up with mode_vals/mode_bits)
+        parts = []
+        for t, idxs in _TX_GROUPS:
+            pg = preds[jnp.asarray(idxs)]
+            srcg = jnp.broadcast_to(src_b[None], pg.shape)
+            parts.append(code_blocks(srcg, pg, fwd16t[t], step16, q16,
+                                     cap16, 16, rm=rm16y, tx=t,
+                                     gains=g16t[t]))
+        lv, rec, dist, rate = (jnp.concatenate([p[k] for p in parts],
+                                               axis=0) for k in range(4))
         cost = dist + lam * (rate + mode_bits[:, None])
         pick = jnp.argmin(cost, axis=0)                 # (L,)
         sel = lambda t: jnp.take_along_axis(

@@ -320,7 +320,8 @@ _1D = {("d", 4): idct4, ("d", 8): idct8, ("d", 16): idct16,
        ("a", 8): iadst8, ("a", 16): iadst16}
 
 # (vertical kind, horizontal kind) for the tx types the pipeline emits
-_TX_KIND = {0: ("d", "d"), 1: ("a", "d"), 2: ("d", "a")}
+# (values match the spec enums: DCT_DCT/ADST_DCT/DCT_ADST/ADST_ADST)
+_TX_KIND = {0: ("d", "d"), 1: ("a", "d"), 2: ("d", "a"), 3: ("a", "a")}
 
 _ROW_SHIFT = {(4, 4): 0, (8, 8): 1, (16, 16): 2, (32, 32): 2, (64, 64): 2}
 

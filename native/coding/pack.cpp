@@ -259,6 +259,11 @@ struct Tile {
     std::vector<int8_t> mi_newmv;            // per mi unit
     std::vector<int8_t> mi_coded;            // per mi unit (inter coded)
     std::vector<int8_t> mi_n4;               // per mi unit: block mi width
+    // intra luma tx_type from the prediction mode (spec Mode_To_Txfm):
+    // the wavefront keyframe pipeline codes each mode's residual with its
+    // derived transform (av1tpu/models/intra_wave.py); the V-family
+    // pipelines stay DCT-only (flag 0)
+    int tx_from_mode = 0;
     std::vector<int8_t> mi_ref;              // per mi unit: 1=LAST 4=GOLDEN
     // optional per-16-block reference grid (0=LAST, 1=GOLDEN); null means
     // the single-ref LAST chain (av1tpu/spec/tile.py _code_single_ref)
@@ -789,7 +794,13 @@ static void code_block_common(Tile &T, int r, int c, int n, int mode,
     if (!skip) {
         // TX_64X64 luma codes a 32x32 area; its chroma is one 32x32 DCT
         int nly = n == 64 ? 32 : n;
-        code_coeffs(T, 0, c * 4, r * 4, nly, ly, 1, mode, n);
+        // TX_SET_INTRA_2 symbol per luma mode (spec Mode_To_Txfm into
+        // [IDTX, DCT_DCT, ADST_ADST, ADST_DCT, DCT_ADST]); DCT when the
+        // pipeline is DCT-only (tx_from_mode = 0)
+        static const int kTx2SymForMode[13] =
+            {1, 3, 4, 1, 2, 3, 4, 4, 3, 2, 3, 4, 2};
+        int txsym = T.tx_from_mode ? kTx2SymForMode[mode] : 1;
+        code_coeffs(T, 0, c * 4, r * 4, nly, ly, txsym, mode, n);
         code_coeffs(T, 1, c * 2, r * 2, n / 2, lu, 0, 0);
         code_coeffs(T, 2, c * 2, r * 2, n / 2, lvp, 0, 0);
     } else {
@@ -1538,13 +1549,14 @@ size_t pack_tile_v2(const uint16_t *bitmap, const int16_t *vals,
 // v2 with an explicit chroma mode (the wavefront keyframe pipeline codes
 // uv DC_PRED; see av1tpu/models/intra_wave.py)
 size_t pack_tile_v2_uv(const uint16_t *bitmap, const int16_t *vals,
-                       const int16_t *modes, int uv_mode,
+                       const int16_t *modes, int uv_mode, int tx_from_mode,
                        int mi_rows, int mi_cols, int qindex,
                        int disable_update, uint8_t *out, size_t cap,
                        const int32_t *cdf_in, int32_t *cdf_out) {
     Tile T;
     T.init(qindex, mi_rows, mi_cols);
     T.init_inter();     // blob covers inter tables too (stay at defaults)
+    T.tx_from_mode = tx_from_mode;
     tile_cdf_io(T, cdf_in, nullptr, false);
     T.co.update = !disable_update;
     Grids G;

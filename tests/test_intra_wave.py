@@ -32,6 +32,10 @@ class WavePlanner(FixedPartitionPlanner):
     def modes(self, tc, r, c, bsize):
         return int(self.out["modes"][r // 4, c // 4]), DC_PRED
 
+    def tx_type(self, tc, plane, tx, mode):
+        from av1tpu.spec.enums import MODE_TO_TXFM
+        return MODE_TO_TXFM[mode]  # the wave pipeline's derived tx
+
     def quantize(self, tc, coefs_f, plane, tx, dc_q, ac_q, shift, x=0, y=0):
         n = 16 if plane == 0 else 8
         g = self.out[("levels_y", "levels_u", "levels_v")[plane]]
@@ -119,7 +123,8 @@ def test_wave_packer_byte_identical():
     bitmap = np.packbits(sig, bitorder="little").view(np.uint16)
     cpp = Packer().pack_tile_compact(
         bitmap, flat[sig], h, w, q,
-        modes=out["modes"].reshape(-1).astype(np.int16), uv_mode=0)
+        modes=out["modes"].reshape(-1).astype(np.int16), uv_mode=0,
+        tx_from_mode=True)
     assert cpp == py_tile
 
 

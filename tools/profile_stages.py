@@ -103,7 +103,8 @@ def main():
     def pack_key():
         count, bm, vals, modes = split_compact(kbuf_np, ch, cw)
         return packer.pack_tile_compact(bm, vals, ch, cw, q - 24,
-                                        modes=modes, uv_mode=0)
+                                        modes=modes, uv_mode=0,
+                                        tx_from_mode=True)
 
     dt, _ = t(pack_key)
     res["keyframe_host_pack"] = dt

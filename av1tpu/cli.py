@@ -208,21 +208,29 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                 raise _CapacityExceeded(count)
             tile = packer.pack_tile_part(bm, vals, m16, m32, sp, sp64,
                                          ch, cw, q, cdf_out=cdf_out)
+        elif kind == "wave":
+            from av1tpu.models.intra_wave import split_compact_wave
+            count, bm, vals, modes, txd = split_compact_wave(buf, ch, cw)
+            if count > len(vals):
+                raise _CapacityExceeded(count)
+            # the wavefront pipeline codes chroma DC_PRED (0), derives
+            # each luma block's tx_type from its mode (Mode_To_Txfm) and
+            # signals a per-block tx depth (TX_MODE_SELECT)
+            tile = packer.pack_tile_compact(bm, vals, ch, cw, q,
+                                            modes=modes, uv_mode=0,
+                                            tx_from_mode=True,
+                                            cdf_out=cdf_out, txd=txd)
         else:
             count, bm, vals, modes = split_compact(buf, ch, cw)
             if count > len(vals):
                 raise _CapacityExceeded(count)
-            # the wavefront pipeline codes chroma DC_PRED (0) and derives
-            # each luma block's tx_type from its mode (Mode_To_Txfm)
             tile = packer.pack_tile_compact(bm, vals, ch, cw, q,
-                                            modes=modes,
-                                            uv_mode=0 if kind == "wave"
-                                            else 1,
-                                            tx_from_mode=kind == "wave",
+                                            modes=modes, uv_mode=1,
                                             cdf_out=cdf_out)
         return _wrap_tu(tile, cw, ch, width, height, q, bd,
                         lf=(lf[0], lf[0], lf[1], lf[2]),
-                        cdf_save=cdf_out is not None, cdef=cdef)
+                        cdf_save=cdf_out is not None, cdef=cdef,
+                        tx_select=kind == "wave")
 
     ncoef = ch * cw + 2 * (ch // 2) * (cw // 2)
 
@@ -285,7 +293,11 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             scenes.append({
                 "frames": frames,
                 "q": q, "key_q": key_q,
-                "key_lf": (lyk, luk, lvk),
+                # wavefront keyframes signal TX_MODE_SELECT: sub-tx edges
+                # are transform-block deblock edges the TPU deblock pass
+                # does not model yet, so their in-loop filter is off
+                # (CDEF still runs); fast-preset keyframes keep deblock
+                "key_lf": (0, 0, 0) if partitions else (lyk, luk, lvk),
                 "inter_lf": (ly_i, lu_i, lv_i),
                 "key_gate": key_gate,
             })
@@ -336,7 +348,10 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             # (av1an/SVT boost keyframes the same way via --crf hierarchy)
             key_q = max(q - key_q_boost, 1) if e0 - s0 > 1 else q
             lyk, _, luk, lvk = lf_levels(key_q)
-            key_lf = (lyk, luk, lvk)
+            # wavefront keyframes signal TX_MODE_SELECT: sub-tx edges are
+            # transform-block deblock edges the TPU deblock pass does not
+            # model yet, so their in-loop filter is off (CDEF still runs)
+            key_lf = (0, 0, 0) if partitions else (lyk, luk, lvk)
             ly_i, _, lu_i, lv_i = lf_levels(q)
             inter_lf = (ly_i, lu_i, lv_i)
             fused0 = fuse_planes(*planes0, bit_depth=bd)
@@ -435,15 +450,24 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             # device-resident and constant across the scene's inter chain
             gld = ref if partitions else None
             nxt = prep(bases[0]) if bases else None
+            mv_carry = None  # temporal MV candidate chain (scene-local)
             for bi, base in enumerate(bases):
                 k, fused_dev = nxt
                 ref_in = ref
+                mv_in = mv_carry
                 first = True
                 while True:
                     with clock("inter_dispatch"):
-                        bufs, ref = gop_fn(fused_dev, ref_in,
-                                           q, ch, cw, cap=cap, lf=inter_lf,
-                                           cdef_s=cdef_j, gld_fused=gld)
+                        if partitions:
+                            bufs, ref, mv_carry = gop_fn(
+                                fused_dev, ref_in, q, ch, cw, cap=cap,
+                                lf=inter_lf, cdef_s=cdef_j, gld_fused=gld,
+                                prev_mv=mv_in)
+                        else:
+                            bufs, ref = gop_fn(fused_dev, ref_in,
+                                               q, ch, cw, cap=cap,
+                                               lf=inter_lf, cdef_s=cdef_j,
+                                               gld_fused=gld)
                     if first:  # prefetch chunk N+1 behind N's compute
                         nxt = (prep(bases[bi + 1])
                                if bi + 1 < len(bases) else None)
@@ -545,7 +569,7 @@ def _cdef_cfg_kw(cdef):
 def _wrap_tu(tile: bytes, coded_w: int, coded_h: int, render_w: int,
              render_h: int, qindex: int, bit_depth: int = 8,
              lf=(0, 0, 0, 0), cdf_save: bool = False,
-             cdef=None) -> bytes:
+             cdef=None, tx_select: bool = False) -> bytes:
     from av1tpu.spec.bits import BitWriter
     from av1tpu.spec.encode_frame import (
         EncoderConfig, make_frame_header, make_sequence_header,
@@ -558,7 +582,8 @@ def _wrap_tu(tile: bytes, coded_w: int, coded_h: int, render_w: int,
     )
 
     cfg = EncoderConfig(base_q_idx=qindex, bit_depth=bit_depth,
-                        loop_filter_level=tuple(lf), **_cdef_cfg_kw(cdef))
+                        loop_filter_level=tuple(lf),
+                        tx_mode_select=int(tx_select), **_cdef_cfg_kw(cdef))
     seq = make_sequence_header(coded_w, coded_h, cfg)
     fh = make_frame_header(seq, cfg)
     if cdf_save:  # decoder saves end-of-frame CDFs into the ref slots

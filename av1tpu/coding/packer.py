@@ -75,7 +75,8 @@ class Packer:
                         ctypes.c_int, ctypes.c_int, ctypes.c_int,
                         ctypes.c_int, ctypes.c_int, ctypes.c_int,
                         ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
-                        _I32P, _I32P]
+                        _I32P, _I32P,
+                        ctypes.POINTER(ctypes.c_int16)]
         self._fn2u = f2u
 
     def new_cdf_blob(self) -> np.ndarray:
@@ -119,14 +120,19 @@ class Packer:
                           modes: np.ndarray | None = None,
                           uv_mode: int = 1, tx_from_mode: bool = False,
                           cdf_in: np.ndarray | None = None,
-                          cdf_out: np.ndarray | None = None) -> bytes:
+                          cdf_out: np.ndarray | None = None,
+                          txd: np.ndarray | None = None) -> bytes:
         """Pack from the compact form produced by encode_intra_v_compact:
         significance bitmap (uint16 words) + nonzero values (int16) +
         optional per-block luma modes (None = all V_PRED) + a frame-wide
         chroma mode (V_PRED default; the wavefront pipeline uses DC).
         tx_from_mode: luma tx_type derived from the mode (Mode_To_Txfm —
         the wavefront ADST pipeline); False = DCT everywhere.
-        height/width: padded luma dims (multiples of 64)."""
+        txd: optional per-block luma tx depth (0..2) — its presence means
+        the frame header signals TX_MODE_SELECT and every block codes a
+        tx-depth symbol; sub-tx luma levels live in the 16x16 slot as
+        raster nt x nt tiles.  height/width: padded luma dims (multiples
+        of 64)."""
         bm = np.ascontiguousarray(bitmap, np.uint16)
         vv = np.ascontiguousarray(vals, np.int16)
         if modes is not None:
@@ -134,6 +140,11 @@ class Packer:
             mptr = mm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
         else:
             mptr = ctypes.POINTER(ctypes.c_int16)()
+        if txd is not None:
+            tt = np.ascontiguousarray(txd, np.int16)
+            tptr = tt.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+        else:
+            tptr = ctypes.POINTER(ctypes.c_int16)()
         mi_rows, mi_cols = height // 4, width // 4
         # worst case ~40 bits per coefficient (1.5 coefs per luma pixel)
         cap = height * width * 8 + 65536
@@ -142,7 +153,7 @@ class Packer:
                        vv.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
                        mptr, uv_mode, int(tx_from_mode),
                        mi_rows, mi_cols, qindex, int(disable_cdf_update),
-                       out, cap, *self._cdf_ptrs(cdf_in, cdf_out))
+                       out, cap, *self._cdf_ptrs(cdf_in, cdf_out), tptr)
         if n == 0:
             raise RuntimeError("pack_tile_v2 failed (buffer too small?)")
         return bytes(bytearray(out)[:n])

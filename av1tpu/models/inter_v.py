@@ -128,6 +128,25 @@ def _coarse_search(src_q, ref_q, lam, snap_margin):
     g_dy, g_dx = g // nd, g % nd
     sad_g = all_sad.reshape(nd * nd, rows, cols)[g]
     snap_g = sad_g <= best_sad + snap_margin
+
+    # second coarse candidate per block, from a DIFFERENT basin (Chebyshev
+    # > 1 q-sample from the winner): on fine texture the 4x4-pooled SAD at
+    # the true-motion candidate is only marginally better than noise, so
+    # the argmin routinely lands in a wrong basin the +-2 full-pel refine
+    # can never escape — the full-resolution refine downstream re-judges
+    # both candidates and keeps whichever truly matches (the per-block
+    # analog of _global_full's top-K rescue)
+    cost_vol = (all_sad + bias_dy[:, None, None, None]
+                + bias_dy[None, :, None, None])         # (nd, nd, r, c)
+    ddy = jnp.abs(dys[:, None, None, None] - best_dy[None, None])
+    ddx = jnp.abs(dys[None, :, None, None] - best_dx[None, None])
+    near = (jnp.maximum(ddy, ddx) <= 1)
+    masked = jnp.where(near, jnp.inf, cost_vol).reshape(nd * nd, rows,
+                                                        cols)
+    k2 = jnp.argmin(masked, axis=0)
+    c2_dy = dys[k2 // nd]
+    c2_dx = dys[k2 % nd]
+
     best_dy = jnp.where(snap_g, dys[g_dy], best_dy)
     best_dx = jnp.where(snap_g, dys[g_dx], best_dx)
     # top-K global shift candidates by quarter-res totals, re-judged at
@@ -137,7 +156,8 @@ def _coarse_search(src_q, ref_q, lam, snap_margin):
     # recover (the texture-corpus MV bug this stage replaces)
     _, topi = jax.lax.top_k(-totals.reshape(-1), _GLOBAL_K)
     shifts4 = jnp.stack([dys[topi // nd], dys[topi % nd]], axis=-1) * 4
-    return jnp.stack([best_dy, best_dx], axis=-1) * 4, shifts4
+    return (jnp.stack([best_dy, best_dx], axis=-1) * 4,
+            jnp.stack([c2_dy, c2_dx], axis=-1) * 4, shifts4)
 
 
 def _patches_select(ref, coarse_px):
@@ -239,7 +259,7 @@ def _refine_search(src_b, patches, coarse_px, lam):
             # carry the winning prediction too: luma MC comes free from the
             # patches already in registers (saves a full-plane gather)
             best_pred = jnp.where(take[..., None, None], cand, best_pred)
-    return best, best_pred, best_sad
+    return best, best_pred, best_sad, best_cost
 
 
 def _global_full(src, ref, shifts4):
@@ -804,33 +824,60 @@ def _to_blocks(plane, n: int):
     return (plane.reshape(h // n, n, w // n, n).transpose(0, 2, 1, 3))
 
 
-def _search_mv(y, ref_y, lam, pix_max):
+def _search_mv(y, ref_y, lam, pix_max, prev_mv=None):
     """Full luma motion search: quarter-res coarse (+dominant snap), +-2
-    full-pel refine, a frame-global ABSOLUTE candidate chosen and judged
-    at full resolution for every block (rescues blocks whose quarter-res
-    SAD landscape aliased into a wrong basin — periodic texture — and
-    coalesces the field so the MV stack codes it nearly free), then the
-    quarter-pel subpel sweep.  Returns (mv8 1/8-pel, pred_y, src_b,
-    (p40, mv_px)) — the 40x40 patches and full-pel winner feed the 8x8
-    sub-block stage's extended MC (_mc_ext32) without a second patch
-    assembly."""
+    full-pel refine around MULTIPLE candidate bases — the coarse winner,
+    a second-basin coarse candidate, and the co-located previous frame's
+    MV (temporal prediction; steady local motion like an object tracking
+    across the scene is found once and then inherited) — a frame-global
+    ABSOLUTE candidate chosen and judged at full resolution for every
+    block (rescues blocks whose quarter-res SAD landscape aliased into a
+    wrong basin — periodic texture — and coalesces the field so the MV
+    stack codes it nearly free), then the quarter-pel subpel sweep.
+    prev_mv: optional (rows, cols, 2) int32 full-pel MV field of the
+    previous frame.  Returns (mv8 1/8-pel, pred_y, src_b, (p40, mv_px)) —
+    the 40x40 patches and full-pel winner feed the 8x8 sub-block stage's
+    extended MC (_mc_ext32) without a second patch assembly."""
     src_q = _block_sad(y, 4) // 16         # 4x4 mean pool (exact ints /16)
     ref_q = _block_sad(ref_y, 4) // 16
-    coarse, shifts4 = _coarse_search(src_q, ref_q, lam * _MV_BIAS / 16.0,
-                                     lam * 14.0 / 16.0)
+    coarse, coarse2, shifts4 = _coarse_search(
+        src_q, ref_q, lam * _MV_BIAS / 16.0, lam * 14.0 / 16.0)
     # (quarter-res SADs are ~1/16 of pixel-domain SADs, so both the
     # MV-rate bias and the ~14-bit NEWMV-diff snap margin scale down by 16)
     src_b = _to_blocks(y, 16)
-    patches = _patches_select(ref_y, coarse)
-    mv_px, pred_y, best_sad = _refine_search(src_b, patches, coarse, lam)
+
+    bases = [coarse, coarse2]
+    if prev_mv is not None:
+        # temporal base: nearest 4-aligned point (the +-2 refine sweep
+        # then covers the exact previous MV), clipped to the coarse range
+        # _patches_select's decomposition assumes
+        tmv = jnp.clip(((prev_mv + 2) >> 2) << 2,
+                       -4 * _COARSE_R, 4 * _COARSE_R)
+        bases.append(tmv)
+
+    mv_px = pred_y = best_sad = best_cost = base_f = None
+    for b in bases:
+        patches = _patches_select(ref_y, b)
+        m, p, s, c = _refine_search(src_b, patches, b, lam)
+        if mv_px is None:
+            mv_px, pred_y, best_sad, best_cost = m, p, s, c
+            base_f = b
+        else:
+            take = c < best_cost
+            mv_px = jnp.where(take[..., None], m, mv_px)
+            pred_y = jnp.where(take[..., None, None], p, pred_y)
+            best_sad = jnp.where(take, s, best_sad)
+            best_cost = jnp.where(take, c, best_cost)
+            base_f = jnp.where(take[..., None], b, base_f)
+
     c0, g_full, sad_g = _global_full(y, ref_y, shifts4)
     snap = sad_g <= best_sad + lam * 14.0
     mv_px = jnp.where(snap[..., None], g_full, mv_px)
 
-    # every block's MV is coarse + off with off in [-2, 2]: the refine
+    # every block's MV is base + off with off in [-2, 2]: the refine
     # winner by construction, and the global candidate c0 + off by the
     # same decomposition — keep the pair for subpel patch assembly
-    coarse_f = jnp.where(snap[..., None], c0[None, None], coarse)
+    coarse_f = jnp.where(snap[..., None], c0[None, None], base_f)
     off_f = mv_px - coarse_f
     p40 = _patches40_select(ref_y, coarse_f, off_f)
     mv8, pred_y = _subpel_refine(src_b, p40[..., 8:32, 8:32], mv_px, lam,
@@ -1232,7 +1279,7 @@ def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
 @functools.partial(jax.jit, static_argnames=("bit_depth",))
 def encode_inter_part(y, u, v, ref_y, ref_u, ref_v, qindex,
                       bit_depth: int = 8, sub8: bool = True,
-                      gld_y=None, gld_u=None, gld_v=None):
+                      gld_y=None, gld_u=None, gld_v=None, prev_mv=None):
     """Partitioned inter encode: 16-grid motion search, 16->8x8 splits at
     motion boundaries, then 32/64 merge RDO.  Returns per-size level
     grids, MV grids (per-16 "mv" + per-8 "mv8"), split maps, a per-16
@@ -1249,7 +1296,8 @@ def encode_inter_part(y, u, v, ref_y, ref_u, ref_v, qindex,
     lam = (ac * ac * 0.0234) ** 0.5
 
     pix_max = (1 << bit_depth) - 1
-    mv8, pred_y, src_b, (p40, mv_px) = _search_mv(y, ref_y, lam, pix_max)
+    mv8, pred_y, src_b, (p40, mv_px) = _search_mv(y, ref_y, lam, pix_max,
+                                                  prev_mv=prev_mv)
     pred_u, pred_v = _chroma_mc_pair(ref_u, ref_v, mv8, pix_max)
 
     s8 = None
@@ -1279,6 +1327,9 @@ def encode_inter_part(y, u, v, ref_y, ref_u, ref_v, qindex,
                            (pred_u, pred_v), mv8, qindex, bit_depth,
                            sub8=s8, use_g=use_g)
     out["mv"] = mv8
+    out["mv_px"] = mv_px               # full-pel per-16 winner: the next
+    # frame's temporal search candidate (golden blocks keep their
+    # searched LAST MV here — it is a search hint, not a coded value)
     out["ref16"] = (use_g if use_g is not None
                     else jnp.zeros(mv8.shape[:2], bool))
     return out
@@ -1294,7 +1345,7 @@ def inter_part_sizes(height: int, width: int):
 
 def _gop_step_part_body(frame_u8, ref_fused, qindex, height: int,
                         width: int, cap: int, lf3=None, cdef_s=None,
-                        gld_fused=None):
+                        gld_fused=None, prev_mv=None):
     """Partitioned _gop_step body: one inter frame, union-layout compact
     transport [count, bitmap, vals, split16, split32, split64, ref16,
     mv_y, mv_x].  lf3/cdef_s may be traced (see _gop_step_body); the
@@ -1323,7 +1374,7 @@ def _gop_step_part_body(frame_u8, ref_fused, qindex, height: int,
         gy, gu, gv = unfuse(gld_fused)
         gkw = {"gld_y": gy, "gld_u": gu, "gld_v": gv}
     o = encode_inter_part(yy, uu, vv, ry, ru, rv, qindex,
-                          bit_depth=bit_depth, **gkw)
+                          bit_depth=bit_depth, prev_mv=prev_mv, **gkw)
     y16 = _merge_quads(o["lv16"], o["lv32"], 16)
     y16 = _embed64(y16, o["lv64"])
     u8 = _merge_quads(o["lu8"], o["lu16"], 8)
@@ -1375,36 +1426,44 @@ def _gop_step_part_body(frame_u8, ref_fused, qindex, height: int,
                                     cdef_s[3], 3, bit_depth)
     new_ref = jnp.concatenate([rcy.reshape(-1), rcu.reshape(-1),
                                rcv.reshape(-1)])
-    return buf, new_ref
+    return buf, new_ref, o["mv_px"]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("height", "width", "cap", "lf"))
 def _gop_step_part(frame_u8, ref_fused, qindex, height: int, width: int,
-                   cap: int, lf=None, cdef_s=None, gld_fused=None):
+                   cap: int, lf=None, cdef_s=None, gld_fused=None,
+                   prev_mv=None):
     """Jit of _gop_step_part_body with static lf levels (the single-device
     CLI path)."""
     lf3 = jnp.asarray(lf, jnp.int32) if (lf is not None and any(lf)) \
         else None
     return _gop_step_part_body(frame_u8, ref_fused, qindex, height, width,
-                               cap, lf3, cdef_s, gld_fused)
+                               cap, lf3, cdef_s, gld_fused, prev_mv)
 
 
 def encode_gop_chunk_part(frames_u8, ref_fused, qindex, height: int,
                           width: int, cap: int = 131072, lf=None,
-                          cdef_s=None, gld_fused=None):
+                          cdef_s=None, gld_fused=None, prev_mv=None):
     """Partitioned counterpart of encode_gop_chunk (host loop, device
     carry, per-frame buffers fetchable while later frames compute).
     gld_fused: optional GOLDEN reference (the scene keyframe's filtered
-    recon), constant across the scene."""
+    recon), constant across the scene.  prev_mv: optional (rows, cols, 2)
+    full-pel MV field carried from the previous chunk's last frame (the
+    temporal search candidate).  Returns (bufs, ref, mv) — thread mv into
+    the next chunk's prev_mv."""
     frames_u8 = jnp.asarray(frames_u8)
+    if prev_mv is None:
+        prev_mv = jnp.zeros((height // 16, width // 16, 2), jnp.int32)
     bufs = []
     ref = ref_fused
+    mv = prev_mv
     for k in range(frames_u8.shape[0]):
-        buf, ref = _gop_step_part(frames_u8[k], ref, qindex, height, width,
-                                  cap, lf, cdef_s, gld_fused)
+        buf, ref, mv = _gop_step_part(frames_u8[k], ref, qindex, height,
+                                      width, cap, lf, cdef_s, gld_fused,
+                                      mv)
         bufs.append(buf)
-    return bufs, ref
+    return bufs, ref, mv
 
 
 def split_compact_inter_part(buf: np.ndarray, height: int, width: int):

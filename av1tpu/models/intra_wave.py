@@ -29,13 +29,17 @@ import numpy as np
 from av1tpu.models.intra_v import _plane_params, quantize_coefs
 from av1tpu.ops.transforms_jax import forward_matrix, inverse_transform
 from av1tpu.spec.enums import (
-    D45_PRED, D67_PRED, DC_PRED, H_PRED, PAETH_PRED, SMOOTH_H_PRED,
-    SMOOTH_PRED, SMOOTH_V_PRED, V_PRED,
+    D45_PRED, D67_PRED, D113_PRED, D135_PRED, D157_PRED, D203_PRED,
+    DC_PRED, H_PRED, PAETH_PRED, SMOOTH_H_PRED, SMOOTH_PRED,
+    SMOOTH_V_PRED, V_PRED,
 )
-from av1tpu.spec.predict import DR_INTRA_DERIVATIVE, SM_WEIGHTS
+from av1tpu.spec.predict import (
+    DR_INTRA_DERIVATIVE, MODE_ANGLE, SM_WEIGHTS,
+)
 
 WAVE_MODES = (DC_PRED, V_PRED, H_PRED, D45_PRED, D67_PRED, SMOOTH_PRED,
-              SMOOTH_V_PRED, SMOOTH_H_PRED, PAETH_PRED)
+              SMOOTH_V_PRED, SMOOTH_H_PRED, PAETH_PRED, D135_PRED,
+              D113_PRED, D157_PRED, D203_PRED)
 # per-mode signaling bits from the kf_y_mode CDFs, context-averaged
 # (av1tpu/models/rates.py kf_mode_bits) — replaces hand-set constants
 
@@ -46,12 +50,14 @@ WAVE_MODES = (DC_PRED, V_PRED, H_PRED, D45_PRED, D67_PRED, SMOOTH_PRED,
 # (DCT_DCT=0, ADST_DCT=1, DCT_ADST=2, ADST_ADST=3).  The C++ packer and
 # the engine replay derive the same mapping from the coded mode.
 _TX_GROUPS = (
-    (0, (0, 3)),        # DC, D45        -> DCT_DCT
-    (1, (1, 4, 6)),     # V, D67, SMOOTH_V -> ADST_DCT
-    (2, (2, 7)),        # H, SMOOTH_H    -> DCT_ADST
-    (3, (5, 8)),        # SMOOTH, PAETH  -> ADST_ADST
+    (0, (0, 3)),            # DC, D45                  -> DCT_DCT
+    (1, (1, 4, 6, 10)),     # V, D67, SMOOTH_V, D113   -> ADST_DCT
+    (2, (2, 7, 11, 12)),    # H, SMOOTH_H, D157, D203  -> DCT_ADST
+    (3, (5, 8, 9)),         # SMOOTH, PAETH, D135      -> ADST_ADST
 )
 _TX_ORDER = tuple(i for _, idxs in _TX_GROUPS for i in idxs)
+_D203_POS = _TX_ORDER.index(12)  # cost row to mask where the decoder
+# would read real below-left pixels (anti-causal for the wavefront)
 
 
 def _r2(x, n):
@@ -67,6 +73,26 @@ def _ur_avail_grid(rows: int, cols: int) -> np.ndarray:
     for r in range(1, rows):
         g[r] = m[r % 4][np.arange(cols) % 4]
     g[:, cols - 1] = False
+    return g
+
+
+def _bl_avail_grid(rows: int, cols: int) -> np.ndarray:
+    """Decoder-side below-left availability per 16-block (spec
+    BlockDecoded in z-scan order, mirroring tile.py _have_below_left).
+    A wavefront encoder can never produce those pixels in time (they lie
+    on a LATER diagonal), so D203 is excluded from the RDO wherever the
+    decoder would read them — everywhere else the decoder replicates
+    left[15] exactly as the encoder predicts."""
+    # z-order of the 4x4 16-block grid inside a 64 SB: below-left (i+1,
+    # j-1) precedes (i, j) only at j % 4 == 0 (left SB, i % 4 < 3) and
+    # j % 4 == 2 with even i % 4
+    m = np.zeros((4, 4), np.bool_)
+    m[:3, 0] = True
+    m[0::2, 2] = True
+    g = np.zeros((rows, cols), np.bool_)
+    for r in range(rows - 1):      # frame-bottom row: no pixels below
+        g[r] = m[r % 4][np.arange(cols) % 4]
+    g[:, 0] = False                # frame col 0: have_left is false
     return g
 
 
@@ -96,21 +122,24 @@ def _diagonals(rows: int, cols: int):
     return r_i, c_i, valid
 
 
-def _predict_modes(above32, left, corner, have_a, have_l, base):
+def _predict_modes(above32, left2n, corner, have_a, have_l, base, n=16):
     """Vectorized predictions for every WAVE_MODES entry.
-    above32: (L, 32); left: (L, 16); corner: (L,); have_a/have_l: (L,)
-    bool.  Returns (n_modes, L, 16, 16) int32."""
+    above32: (L, 2n); left2n: (L, 2n) — the below-left half real where
+    the decoder would see decoded pixels, else the caller replicates
+    left[n-1]; corner: (L,); have_a/have_l: (L,) bool.  Returns
+    (n_modes, L, n, n) int32."""
     L = above32.shape[0]
-    n = 16
     above = above32[:, :n]
+    left = left2n[:, :n]
     preds = []
     for mode in WAVE_MODES:
         if mode == DC_PRED:
+            lg = n.bit_length() - 1
             sa = above.sum(axis=1)
             sl = left.sum(axis=1)
-            both = (sa + sl + n) >> 5
-            a_only = (sa + (n >> 1)) >> 4
-            l_only = (sl + (n >> 1)) >> 4
+            both = (sa + sl + n) >> (lg + 1)
+            a_only = (sa + (n >> 1)) >> lg
+            l_only = (sl + (n >> 1)) >> lg
             val = jnp.where(have_a & have_l, both,
                             jnp.where(have_a, a_only,
                                       jnp.where(have_l, l_only, base)))
@@ -148,8 +177,8 @@ def _predict_modes(above32, left, corner, have_a, have_l, base):
             wx = jnp.asarray(SM_WEIGHTS[n], jnp.int32)[None, None, :]
             right = above[:, n - 1][:, None, None]
             p = _r2(wx * left[:, :, None] + (256 - wx) * right, 8)
-        else:  # D45 / D67
-            dx = DR_INTRA_DERIVATIVE[45 if mode == D45_PRED else 67]
+        elif mode in (D45_PRED, D67_PRED):
+            dx = DR_INTRA_DERIVATIVE[MODE_ANGLE[mode]]
             i = np.arange(1, n + 1, dtype=np.int64)[:, None]
             j = np.arange(n, dtype=np.int64)[None, :]
             idx = i * dx
@@ -164,6 +193,57 @@ def _predict_modes(above32, left, corner, have_a, have_l, base):
                          + g1.reshape(L, n, n) * jnp.asarray(shift), 5)
             p = jnp.where(jnp.asarray(pos < max_base)[None],
                           interp, above32[:, max_base][:, None, None])
+        elif mode in (D113_PRED, D135_PRED, D157_PRED):
+            # zone 2 (spec 7.11.2.4, 90 < angle < 180): each pixel's ray
+            # lands on the above row (through the corner at index -1) or
+            # the left column; both branches computed, static select
+            ang = MODE_ANGLE[mode]
+            dx = DR_INTRA_DERIVATIVE[180 - ang]
+            dy = DR_INTRA_DERIVATIVE[ang - 90]
+            ri = np.arange(n, dtype=np.int64)[:, None]
+            ci = np.arange(n, dtype=np.int64)[None, :]
+            xi = (ci << 6) - (ri + 1) * dx
+            base_x = xi >> 6                       # >= -1 when above-hit
+            shift_x = ((xi >> 1) & 0x1F).astype(np.int32)
+            above_c = jnp.concatenate(
+                [corner[:, None], above32[:, : 2 * n - 1]], axis=1)
+            bx = np.clip(base_x + 1, 0, 2 * n - 1)
+            bx1 = np.minimum(bx + 1, 2 * n - 1)
+            g0 = jnp.take(above_c, jnp.asarray(bx.ravel()), axis=1)
+            g1 = jnp.take(above_c, jnp.asarray(bx1.ravel()), axis=1)
+            vx = _r2(g0.reshape(L, n, n) * (32 - jnp.asarray(shift_x))
+                     + g1.reshape(L, n, n) * jnp.asarray(shift_x), 5)
+            yi = (ri << 6) - (ci + 1) * dy
+            base_y = yi >> 6                       # >= -1 by geometry
+            shift_y = ((yi >> 1) & 0x1F).astype(np.int32)
+            left_c = jnp.concatenate([corner[:, None], left], axis=1)
+            by = np.clip(base_y + 1, 0, n)
+            by1 = np.minimum(by + 1, n)
+            h0 = jnp.take(left_c, jnp.asarray(by.ravel()), axis=1)
+            h1 = jnp.take(left_c, jnp.asarray(by1.ravel()), axis=1)
+            vy = _r2(h0.reshape(L, n, n) * (32 - jnp.asarray(shift_y))
+                     + h1.reshape(L, n, n) * jnp.asarray(shift_y), 5)
+            p = jnp.where(jnp.asarray(base_x >= -1)[None], vx, vy)
+        else:  # D203: zone 3 (left-only, the transpose of zone 1); reads
+            # the left2n extension (real below-left pixels where decoded,
+            # caller-replicated otherwise; the 16-level RDO masks this
+            # mode wherever the decoder would see pixels the wavefront
+            # cannot produce in time)
+            dy = DR_INTRA_DERIVATIVE[270 - MODE_ANGLE[mode]]
+            ri = np.arange(n, dtype=np.int64)[:, None]
+            ci = np.arange(n, dtype=np.int64)[None, :]
+            idx = (ci + 1) * dy
+            pos = (idx >> 6) + ri
+            shift = ((idx >> 1) & 0x1F).astype(np.int32)
+            max_base = 2 * n - 1
+            b = np.minimum(pos, max_base)
+            b1 = np.minimum(b + 1, max_base)
+            g0 = jnp.take(left2n, jnp.asarray(b.ravel()), axis=1)
+            g1 = jnp.take(left2n, jnp.asarray(b1.ravel()), axis=1)
+            interp = _r2(g0.reshape(L, n, n) * (32 - jnp.asarray(shift))
+                         + g1.reshape(L, n, n) * jnp.asarray(shift), 5)
+            p = jnp.where(jnp.asarray(pos < max_base)[None],
+                          interp, left2n[:, max_base][:, None, None])
         preds.append(p.astype(jnp.int32))
     return jnp.stack(preds)
 
@@ -239,10 +319,12 @@ def encode_intra_wave(y, u, v, qindex, bit_depth: int = 8,
 
     r_np, c_np, valid_np = _diagonals(rows, cols)
     ur_np = _ur_avail_grid(rows, cols)
+    bl_np = _bl_avail_grid(rows, cols)
     xs = {
         "r": jnp.asarray(r_np), "c": jnp.asarray(c_np),
         "valid": jnp.asarray(valid_np),
         "ur": jnp.asarray(ur_np[r_np, c_np] & valid_np),
+        "bl": jnp.asarray(bl_np[r_np, c_np] & valid_np),
     }
 
     from av1tpu.models.rdoq import coef_gains, rd_zero
@@ -250,6 +332,23 @@ def encode_intra_wave(y, u, v, qindex, bit_depth: int = 8,
     rm8c = RateModel(8, 1)
     g16t = {t: jnp.asarray(coef_gains(16, t)) for t, _ in _TX_GROUPS}
     g8 = jnp.asarray(coef_gains(8))
+
+    # sub-tx (TX_MODE_SELECT) refinement constants: the winning mode is
+    # re-coded at TX_8X8 and TX_4X4 with per-tx-block prediction — on
+    # detailed content the 4/8-px-away edges predict far better than the
+    # block's outer edges, cutting residual rate AND distortion at once
+    # (the lever SVT's intra tx-size RDO provides; headers then signal
+    # TX_MODE_SELECT and the packer codes one tx-depth symbol per block)
+    fwd8t = {t: jnp.asarray(forward_matrix(8, 8, t)) for t, _ in _TX_GROUPS}
+    fwd4t = {t: jnp.asarray(forward_matrix(4, 4, t)) for t, _ in _TX_GROUPS}
+    step4, q4, cap4 = _plane_params(qindex, 4, bit_depth)
+    rm8y, rm4y = RateModel(8, 0), RateModel(4, 0)
+    g8s = jnp.stack([jnp.asarray(coef_gains(8, t)) for t in range(4)])
+    g4s = jnp.stack([jnp.asarray(coef_gains(4, t)) for t in range(4)])
+    grp_of_pos = jnp.asarray([t for t, idxs in _TX_GROUPS for _ in idxs],
+                             jnp.int32)
+    # tx-depth symbol bits from the default tx_size cdf (category 1)
+    _TXD_BITS = (1.42, 0.87, 3.66)
 
     def code_blocks(src, pred, fwd, stepq, q, cap, n, rm=None, tx=0,
                     gains=None):
@@ -282,15 +381,17 @@ def encode_intra_wave(y, u, v, qindex, bit_depth: int = 8,
                 dist.reshape(sh), rate.reshape(sh))
 
     def step(carry, x):
-        rec_y, rec_u, rec_v, lv_y, lv_u, lv_v, modes = carry
+        rec_y, rec_u, rec_v, lv_y, lv_u, lv_v, modes, txds = carry
         r_i, c_i, valid, ur_ok = x["r"], x["c"], x["valid"], x["ur"]
         have_a = (r_i > 0) & valid
         have_l = (c_i > 0) & valid
 
-        # ---- luma: 9-mode RDO ----
+        # ---- luma: full-mode RDO at TX_16X16 ----
         above32, left, corner = _edges_from_blocks(
             rec_y, r_i, c_i, have_a, have_l, ur_ok, base, 16)
-        preds = _predict_modes(above32, left, corner, have_a, have_l,
+        left2n = jnp.concatenate(
+            [left, jnp.repeat(left[:, 15:], 16, axis=1)], axis=1)
+        preds = _predict_modes(above32, left2n, corner, have_a, have_l,
                                base)                    # (M, L, 16, 16)
         src_b = src_y[r_i, c_i]                         # (L, 16, 16)
         # per-tx-group residual coding (preds reordered to _TX_ORDER so
@@ -305,12 +406,117 @@ def encode_intra_wave(y, u, v, qindex, bit_depth: int = 8,
         lv, rec, dist, rate = (jnp.concatenate([p[k] for p in parts],
                                                axis=0) for k in range(4))
         cost = dist + lam * (rate + mode_bits[:, None])
+        # D203 is anti-causal where the decoder has real below-left
+        # pixels (see _bl_avail_grid): exclude it there
+        cost = cost.at[_D203_POS].add(
+            jnp.where(x["bl"], jnp.inf, 0.0))
         pick = jnp.argmin(cost, axis=0)                 # (L,)
         sel = lambda t: jnp.take_along_axis(
             t, pick[None, :, None, None], axis=0)[0]
         lv_b = sel(lv)
         rec_b = sel(rec)
         mode_b = mode_vals[pick]
+        cost_b = jnp.min(cost, axis=0) + lam * _TXD_BITS[0]
+        grp_b = grp_of_pos[pick]                        # (L,) tx group
+        L_ = pick.shape[0]
+
+        def sub_chain(ns, fwds, stepq, qq, capn, rm, gstack):
+            """Re-code every lane's winning mode at tx size ns with
+            per-tx-block prediction (raster order inside the block, the
+            decoder's coding order; edges come from already-reconstructed
+            sub-blocks, with the spec's availability substitutions)."""
+            k = 16 // ns
+            recb = jnp.zeros((L_, 16, 16), jnp.int32)
+            lvb = jnp.zeros((L_, 16, 16), jnp.int16)
+            distb = jnp.zeros(L_, jnp.float32)
+            rateb = jnp.zeros(L_, jnp.float32)
+            qf = qq.astype(jnp.float32)
+            gain_l = jnp.take(gstack, grp_b, axis=0)    # (L, ns*ns)
+            tcdf = rm.tabs[qctx]
+            ones = jnp.ones_like(have_a)
+            for si in range(k):
+                for sj in range(k):
+                    y0, x0 = si * ns, sj * ns
+                    if si == 0:
+                        a2 = above32[:, x0 : x0 + 2 * ns]
+                        if sj > 0:  # frame-top row: decoder substitutes
+                            # from the left neighbor's TOP pixel
+                            a2 = jnp.where(have_a[:, None], a2,
+                                           recb[:, 0, x0 - 1][:, None])
+                    else:
+                        row = recb[:, y0 - 1, :]
+                        idx = np.minimum(np.arange(x0, x0 + 2 * ns), 15)
+                        # above-right: real rec through col 15 (the sub
+                        # above-right is already decoded in raster),
+                        # clamp-replicated past the block edge
+                        a2 = row[:, idx]
+                    if sj == 0:
+                        idx = np.minimum(np.arange(y0, y0 + 2 * ns), 15)
+                        l2 = left[:, idx]
+                        if si > 0:  # frame-left col substitution
+                            l2 = jnp.where(have_l[:, None], l2,
+                                           recb[:, y0 - 1, 0][:, None])
+                    else:
+                        col = recb[:, :, x0 - 1]
+                        idx = np.minimum(np.arange(y0, y0 + 2 * ns),
+                                         y0 + ns - 1)  # below-left of an
+                        # interior sub is never decoded yet: replicate
+                        l2 = col[:, idx]
+                    if si == 0 and sj == 0:
+                        co = corner
+                    elif si == 0:
+                        co = jnp.where(have_a, above32[:, x0 - 1],
+                                       recb[:, 0, x0 - 1])
+                    elif sj == 0:
+                        co = jnp.where(have_l, left[:, y0 - 1],
+                                       recb[:, y0 - 1, 0])
+                    else:
+                        co = recb[:, y0 - 1, x0 - 1]
+                    ha = have_a if si == 0 else ones
+                    hl = have_l if sj == 0 else ones
+                    ps = _predict_modes(a2, l2, co, ha, hl, base, n=ns)
+                    pred = jnp.take_along_axis(
+                        ps, pick[None, :, None, None], axis=0)[0]
+                    srcs = src_b[:, y0 : y0 + ns, x0 : x0 + ns]
+                    resid = (srcs - pred).reshape(L_, ns * ns).astype(
+                        jnp.float32)
+                    coefs = jnp.zeros_like(resid)
+                    for t, _ in _TX_GROUPS:
+                        m = (grp_b == t)[:, None]
+                        coefs = coefs + jnp.where(m, resid @ fwds[t].T, 0)
+                    lvq = quantize_coefs(coefs, stepq, capn)
+                    lvq = rd_zero(lvq, coefs, qf, lam, tcdf, gain_l,
+                                  noise_gate=jnp.asarray(noise_gate,
+                                                         jnp.float32))
+                    inv = jnp.zeros((L_, ns, ns), jnp.float32)
+                    dq = (lvq * qq).reshape(L_, ns, ns)
+                    for t, _ in _TX_GROUPS:
+                        m = (grp_b == t)[:, None, None]
+                        inv = inv + jnp.where(
+                            m, inverse_transform(dq, ns, ns, t), 0)
+                    recs = jnp.clip(pred + inv, 0, pix_max).astype(
+                        jnp.int32)
+                    distb = distb + jnp.sum(
+                        (recs - srcs) ** 2, axis=(1, 2)).astype(
+                            jnp.float32)
+                    rateb = rateb + rm(lvq.reshape(L_, ns, ns), qctx)
+                    recb = recb.at[:, y0 : y0 + ns, x0 : x0 + ns].set(recs)
+                    lvb = lvb.at[:, y0 : y0 + ns, x0 : x0 + ns].set(
+                        lvq.reshape(L_, ns, ns).astype(jnp.int16))
+            return lvb, recb, distb, rateb
+
+        lv8, rec8, dist8, rate8 = sub_chain(8, fwd8t, step8, q8, cap8,
+                                            rm8y, g8s)
+        lv4, rec4, dist4, rate4 = sub_chain(4, fwd4t, step4, q4, cap4,
+                                            rm4y, g4s)
+        cost8 = dist8 + lam * (rate8 + mode_bits[pick] + _TXD_BITS[1])
+        cost4 = dist4 + lam * (rate4 + mode_bits[pick] + _TXD_BITS[2])
+        txd_b = jnp.where(cost8 < jnp.minimum(cost_b, cost4), 1,
+                          jnp.where(cost4 < cost_b, 2, 0)).astype(jnp.int8)
+        d1 = (txd_b == 1)[:, None, None]
+        d2 = (txd_b == 2)[:, None, None]
+        lv_b = jnp.where(d1, lv8, jnp.where(d2, lv4, lv_b))
+        rec_b = jnp.where(d1, rec8, jnp.where(d2, rec4, rec_b))
 
         # ---- chroma: DC only ----
         au, lu_e, cu = _edges_from_blocks(rec_u, r_i, c_i, have_a, have_l,
@@ -348,7 +554,8 @@ def encode_intra_wave(y, u, v, qindex, bit_depth: int = 8,
         lv_u = upd(lv_u, lvu_b.astype(jnp.int16))
         lv_v = upd(lv_v, lvv_b.astype(jnp.int16))
         modes = modes.at[ri_s, ci_s].set(mode_b, mode="drop")
-        return (rec_y, rec_u, rec_v, lv_y, lv_u, lv_v, modes), None
+        txds = txds.at[ri_s, ci_s].set(txd_b, mode="drop")
+        return (rec_y, rec_u, rec_v, lv_y, lv_u, lv_v, modes, txds), None
 
     init = (jnp.zeros((rows, cols, 16, 16), jnp.int32),
             jnp.zeros((rows, cols, 8, 8), jnp.int32),
@@ -356,16 +563,17 @@ def encode_intra_wave(y, u, v, qindex, bit_depth: int = 8,
             jnp.zeros((rows, cols, 16, 16), jnp.int16),
             jnp.zeros((rows, cols, 8, 8), jnp.int16),
             jnp.zeros((rows, cols, 8, 8), jnp.int16),
+            jnp.zeros((rows, cols), jnp.int8),
             jnp.zeros((rows, cols), jnp.int8))
     (rec_y, rec_u, rec_v, lv_y, lv_u, lv_v,
-     modes), _ = jax.lax.scan(step, init, xs)
+     modes, txds), _ = jax.lax.scan(step, init, xs)
 
     def unblk(t, n):
         r2, c2 = t.shape[:2]
         return t.transpose(0, 2, 1, 3).reshape(r2 * n, c2 * n)
 
     return {"levels_y": lv_y, "levels_u": lv_u, "levels_v": lv_v,
-            "modes": modes,
+            "modes": modes, "txd": txds,
             "recon_y": unblk(rec_y, 16), "recon_u": unblk(rec_u, 8),
             "recon_v": unblk(rec_v, 8)}
 
@@ -404,7 +612,8 @@ def _wave_key_body(frame_u8, qindex, height: int, width: int,
     buf = jnp.concatenate([head,
                            jax.lax.bitcast_convert_type(bitmap, jnp.int16),
                            vals[:cap],
-                           o["modes"].reshape(-1).astype(jnp.int16)])
+                           o["modes"].reshape(-1).astype(jnp.int16),
+                           o["txd"].reshape(-1).astype(jnp.int16)])
     rcy, rcu, rcv = o["recon_y"], o["recon_u"], o["recon_v"]
     if lf3 is not None:
         from av1tpu.models.deblock_tpu import deblock_planes
@@ -416,6 +625,20 @@ def _wave_key_body(frame_u8, qindex, height: int, width: int,
     recon = jnp.concatenate([rcy.reshape(-1), rcu.reshape(-1),
                              rcv.reshape(-1)]).astype(jnp.int32)
     return buf, recon
+
+
+def split_compact_wave(buf: np.ndarray, height: int, width: int):
+    """Host-side split of the wavefront compact buffer
+    [head | bitmap | vals | modes | txd].  Returns (count, bitmap uint16,
+    values int16, modes int16, txd int16)."""
+    count = int(buf[0]) | (int(buf[1]) << 15)
+    nwords = (height * width + height * width // 2) // 16
+    nblocks = (height // 16) * (width // 16)
+    bitmap = buf[2 : 2 + nwords].view(np.uint16)
+    vals = buf[2 + nwords : len(buf) - 2 * nblocks]
+    modes = buf[len(buf) - 2 * nblocks : len(buf) - nblocks]
+    txd = buf[len(buf) - nblocks :]
+    return count, bitmap, vals, modes, txd
 
 
 @functools.partial(jax.jit,

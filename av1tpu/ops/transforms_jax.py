@@ -315,9 +315,22 @@ def idct64(x):
     return jnp.stack(o, axis=-1)
 
 
+def iadst4(x):
+    """Normative 4-point inverse ADST (spec 7.13.2.6; sinpi basis, not a
+    butterfly) — mirrors av1tpu/spec/transforms.py iadst4 bit-exactly."""
+    from av1tpu.spec.transforms import SINPI
+    x0, x1, x2, x3 = (x[..., i] for i in range(4))
+    s0 = SINPI[1] * x0 + SINPI[4] * x2 + SINPI[2] * x3
+    s1 = SINPI[2] * x0 - SINPI[1] * x2 - SINPI[4] * x3
+    s3b = SINPI[3] * x1
+    s2 = SINPI[3] * (x0 - x2 + x3)
+    return jnp.stack([_rs(s0 + s3b, 12), _rs(s1 + s3b, 12),
+                      _rs(s2, 12), _rs(s0 + s1 - s3b, 12)], axis=-1)
+
+
 _1D = {("d", 4): idct4, ("d", 8): idct8, ("d", 16): idct16,
        ("d", 32): idct32, ("d", 64): idct64,
-       ("a", 8): iadst8, ("a", 16): iadst16}
+       ("a", 4): iadst4, ("a", 8): iadst8, ("a", 16): iadst16}
 
 # (vertical kind, horizontal kind) for the tx types the pipeline emits
 # (values match the spec enums: DCT_DCT/ADST_DCT/DCT_ADST/ADST_ADST)

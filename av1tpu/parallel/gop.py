@@ -76,16 +76,18 @@ def _scenes_cdef(refs, srcs, skip8s, height: int, width: int,
 @functools.partial(jax.jit,
                    static_argnames=("height", "width", "cap", "part"))
 def _scenes_step(frames, refs, qs, lf3s, cdefs, height: int, width: int,
-                 cap: int, part: bool, glds=None):
+                 cap: int, part: bool, glds=None, mvs=None):
     """One batched inter step: (S, n_pix) frames against (S, n_pix) refs.
     glds: optional (S, n_pix) GOLDEN references (the filtered keyframes)
-    for per-block two-ref coding (partitioned path only)."""
+    for per-block two-ref coding; mvs: (S, rows, cols, 2) previous-frame
+    full-pel MV fields (temporal search candidates) — both partitioned
+    path only.  Partitioned returns (bufs, refs, mvs)."""
     if part:
-        assert glds is not None
+        assert glds is not None and mvs is not None
         return jax.vmap(
-            lambda f, r, q, l, c, g: _gop_step_part_body(
-                f, r, q, height, width, cap, l, c, g)
-        )(frames, refs, qs, lf3s, cdefs, glds)
+            lambda f, r, q, l, c, g, m: _gop_step_part_body(
+                f, r, q, height, width, cap, l, c, g, m)
+        )(frames, refs, qs, lf3s, cdefs, glds, mvs)
     return jax.vmap(
         lambda f, r, q, l, c: _gop_step_body(f, r, q, height, width, cap,
                                              l, c)
@@ -174,13 +176,20 @@ class SceneBatchEncoder:
         # leak into the reported per-scene recon)
         lens_d = _shard(self.mesh, jnp.asarray(self.lens, jnp.int32))
         final_refs = refs  # scenes of length 1: the CDEF'd keyframe
+        mvs = _shard(self.mesh, jnp.zeros(
+            (S, self.h // 16, self.w // 16, 2), jnp.int32)) if part \
+            else None
         pending = None  # one-step fetch window: step t's transfer + host
         for t in range(1, self.lmax):  # work overlap step t+1's compute
             ft = _shard(self.mesh,
                         np.stack([self._frame(s, t) for s in range(S)]))
-            bufs, refs = _scenes_step(ft, refs, iqs_d, ilf_d, cdefs,
-                                      self.h, self.w, inter_cap, part,
-                                      glds=glds if part else None)
+            if part:
+                bufs, refs, mvs = _scenes_step(
+                    ft, refs, iqs_d, ilf_d, cdefs, self.h, self.w,
+                    inter_cap, part, glds=glds, mvs=mvs)
+            else:
+                bufs, refs = _scenes_step(ft, refs, iqs_d, ilf_d, cdefs,
+                                          self.h, self.w, inter_cap, part)
             final_refs = _freeze_final(final_refs, refs, lens_d, t)
             if pending is not None:
                 collect(*pending)

@@ -28,6 +28,7 @@ class EncoderConfig:
     leaf_bsize: int = BLOCK_16X16
     bit_depth: int = 8
     disable_cdf_update: int = 0
+    tx_mode_select: int = 0  # 1 = TX_MODE_SELECT (per-block tx depth)
     loop_filter_level: tuple = (0, 0, 0, 0)
     loop_filter_sharpness: int = 0
     # CDEF (spec 7.15): cdef_bits = 0, one frame-wide strength preset.
@@ -62,6 +63,9 @@ def make_frame_header(seq: SequenceHeader, cfg: EncoderConfig) -> FrameHeader:
     fh.base_q_idx = cfg.base_q_idx
     fh.disable_cdf_update = cfg.disable_cdf_update
     fh.disable_frame_end_update_cdf = 1
+    if cfg.tx_mode_select:
+        from av1tpu.spec.headers import TX_MODE_SELECT
+        fh.tx_mode = TX_MODE_SELECT
     fh.loop_filter_level = cfg.loop_filter_level
     fh.loop_filter_sharpness = cfg.loop_filter_sharpness
     if cfg.enable_cdef:

@@ -16,16 +16,29 @@ from __future__ import annotations
 import numpy as np
 
 from .enums import (
-    D45_PRED, D67_PRED, DC_PRED, H_PRED, PAETH_PRED, SMOOTH_H_PRED,
-    SMOOTH_PRED, SMOOTH_V_PRED, V_PRED,
+    D45_PRED, D67_PRED, D113_PRED, D135_PRED, D157_PRED, D203_PRED,
+    DC_PRED, H_PRED, PAETH_PRED, SMOOTH_H_PRED, SMOOTH_PRED,
+    SMOOTH_V_PRED, V_PRED,
 )
 
-# Dr_Intra_Derivative at the base angles of the above-only directional modes
-# (angle_delta 0, no edge filter/upsample — our sequence headers disable the
-# intra edge filter).  Values extracted from the system libaom .rodata
-# (uint16[90] at .rodata+309888, cross-checked against prediction behavior
-# via the dav1d/libaom conformance oracle).
-DR_INTRA_DERIVATIVE = {45: 64, 67: 27}
+# Dr_Intra_Derivative (spec 7.11.2.4): 1/64-pel per-row (or per-column)
+# steps of the directional predictors, indexed by angle mod 90.  Full
+# uint16[90] table extracted from the system libaom .rodata (byte offset
+# 4688512 in libaom.so.3.6.0, anchored on the [3]=1023/[45]=64/[67]=27
+# pattern), cross-checked against prediction behavior via the dav1d/
+# libaom conformance oracle.  Base angles use {23, 45, 67}; the other
+# entries are the +-3-degree delta-angle steps.
+DR_INTRA_DERIVATIVE = {
+    3: 1023, 6: 547, 9: 372, 14: 273, 17: 215, 20: 178, 23: 151, 26: 132,
+    29: 116, 32: 102, 36: 90, 39: 80, 42: 71, 45: 64, 48: 57, 51: 51,
+    54: 45, 58: 40, 61: 35, 64: 31, 67: 27, 70: 23, 73: 19, 76: 15,
+    81: 11, 84: 7, 87: 3,
+}
+
+# base prediction angle per directional mode (spec Mode_To_Angle)
+MODE_ANGLE = {V_PRED: 90, H_PRED: 180, D45_PRED: 45, D135_PRED: 135,
+              D113_PRED: 113, D157_PRED: 157, D203_PRED: 203,
+              D67_PRED: 67}
 
 SM_WEIGHTS = {
     4: np.array([255, 149, 85, 64], np.int64),
@@ -50,11 +63,14 @@ def _round2(x, n):
 
 def build_edges(recon: np.ndarray, x: int, y: int, w: int, h: int,
                 have_above: bool, have_left: bool, bit_depth: int = 8,
-                have_above_right: bool = False):
-    """Returns (above_row[w + h], left_col[h], corner) int64 edge arrays.
-    above[w:] holds the above-right extension used by directional modes:
-    real pixels when have_above_right (BlockDecoded at (y4-1, x4+w4), spec
-    5.11.3/7.11.2), otherwise above[w-1] replicated."""
+                have_above_right: bool = False,
+                have_below_left: bool = False):
+    """Returns (above_row[w + h], left_col[h + w], corner) int64 edge
+    arrays.  above[w:] holds the above-right extension used by the
+    zone-1 directional modes: real pixels when have_above_right
+    (BlockDecoded at (y4-1, x4+w4), spec 5.11.3/7.11.2), otherwise
+    above[w-1] replicated.  left[h:] is the symmetric below-left
+    extension for the zone-3 modes (BlockDecoded at (y4+h4, x4-1))."""
     base = 1 << (bit_depth - 1)
     alen = w + h
     if have_above:
@@ -71,15 +87,21 @@ def build_edges(recon: np.ndarray, x: int, y: int, w: int, h: int,
         above = np.full(alen, int(recon[y, x - 1]), np.int64)
     else:
         above = np.full(alen, base - 1, np.int64)
+    llen = h + w
     if have_left:
         avail_h = min(h, recon.shape[0] - y)
-        left = np.empty(h, np.int64)
+        left = np.empty(llen, np.int64)
         left[:avail_h] = recon[y : y + avail_h, x - 1]
         left[avail_h:] = left[avail_h - 1] if avail_h else base + 1
+        if have_below_left and avail_h == h:
+            bl = min(llen - h, recon.shape[0] - y - h)
+            if bl > 0:
+                left[h : h + bl] = recon[y + h : y + h + bl, x - 1]
+                left[h + bl :] = left[h + bl - 1]
     elif have_above:
-        left = np.full(h, int(recon[y - 1, x]), np.int64)
+        left = np.full(llen, int(recon[y - 1, x]), np.int64)
     else:
-        left = np.full(h, base + 1, np.int64)
+        left = np.full(llen, base + 1, np.int64)
     if have_above and have_left:
         corner = int(recon[y - 1, x - 1])
     elif have_above:
@@ -138,7 +160,7 @@ def predict_intra(mode: int, above: np.ndarray, left: np.ndarray,
         return _round2(wx * left[:h, None] + (256 - wx) * right, 8)
     if mode in (D45_PRED, D67_PRED):
         # spec 7.11.2.4, pAngle < 90 (above-only), upsample/edge filter off
-        dx = DR_INTRA_DERIVATIVE[45 if mode == D45_PRED else 67]
+        dx = DR_INTRA_DERIVATIVE[MODE_ANGLE[mode]]
         i = np.arange(1, h + 1, dtype=np.int64)[:, None]
         j = np.arange(w, dtype=np.int64)[None, :]
         idx = i * dx
@@ -149,4 +171,44 @@ def predict_intra(mode: int, above: np.ndarray, left: np.ndarray,
         interp = _round2(above[b] * (32 - shift)
                          + above[np.minimum(b + 1, max_base)] * shift, 5)
         return np.where(pos < max_base, interp, above[max_base])
+    if mode in (D113_PRED, D135_PRED, D157_PRED):
+        # spec 7.11.2.4, 90 < pAngle < 180 (above + left through the
+        # corner), upsample/edge filter off.  Per pixel the ray lands
+        # either on the above row (base_x >= -1, index -1 = corner) or on
+        # the left column (base_y >= -1 by the geometry).
+        ang = MODE_ANGLE[mode]
+        dx = DR_INTRA_DERIVATIVE[180 - ang]
+        dy = DR_INTRA_DERIVATIVE[ang - 90]
+        r = np.arange(h, dtype=np.int64)[:, None]
+        c = np.arange(w, dtype=np.int64)[None, :]
+        xi = (c << 6) - (r + 1) * dx
+        base_x = xi >> 6
+        shift_x = (xi >> 1) & 0x1F
+        # above with corner at slot 0: aboveC[k] = above[k - 1]
+        above_c = np.concatenate(([corner], above[: w + h - 1]))
+        bx = np.clip(base_x + 1, 0, w + h - 1)
+        vx = _round2(above_c[bx] * (32 - shift_x)
+                     + above_c[np.minimum(bx + 1, w + h - 1)] * shift_x, 5)
+        yi = (r << 6) - (c + 1) * dy
+        base_y = yi >> 6
+        shift_y = (yi >> 1) & 0x1F
+        left_c = np.concatenate(([corner], left[: w + h - 1]))
+        by = np.clip(base_y + 1, 0, w + h - 1)
+        vy = _round2(left_c[by] * (32 - shift_y)
+                     + left_c[np.minimum(by + 1, w + h - 1)] * shift_y, 5)
+        return np.where(base_x >= -1, vx, vy)
+    if mode == D203_PRED:
+        # spec 7.11.2.4, pAngle > 180 (left-only; the transpose of the
+        # zone-1 process), upsample/edge filter off
+        dy = DR_INTRA_DERIVATIVE[270 - MODE_ANGLE[mode]]
+        r = np.arange(h, dtype=np.int64)[:, None]
+        c = np.arange(w, dtype=np.int64)[None, :]
+        idx = (c + 1) * dy
+        pos = (idx >> 6) + r
+        shift = (idx >> 1) & 0x1F
+        max_base = w + h - 1
+        b = np.minimum(pos, max_base)
+        interp = _round2(left[b] * (32 - shift)
+                         + left[np.minimum(b + 1, max_base)] * shift, 5)
+        return np.where(pos < max_base, interp, left[max_base])
     raise NotImplementedError(f"intra mode {mode}")

@@ -94,6 +94,11 @@ class Planner:
     def tx_type(self, tc, plane, tx, mode) -> int:
         return DCT_DCT
 
+    def tx_depth(self, tc, r, c, bsize) -> int:
+        """Uniform luma tx depth for an intra block (TX_MODE_SELECT):
+        0 = largest, 1 = half, 2 = quarter (e.g. 16x16 -> TX_4X4)."""
+        return 0
+
     def quantize(self, tc, coefs_f: np.ndarray, plane: int, tx: int,
                  dc_q: int, ac_q: int, shift: int, x: int = 0,
                  y: int = 0) -> np.ndarray:
@@ -244,6 +249,21 @@ class TileCoder:
         if xq + 1 >= f.shape[1]:
             return False
         return bool(f[y0, xq + 1])
+
+    def _have_below_left(self, plane, x, y, tx):
+        """Below-left availability (the zone-3 directional modes'
+        left-column extension): BlockDecoded at (y4 + h4, x4 - 1) —
+        the mirror of _have_above_right."""
+        sub = 1 if plane else 0
+        if y + TX_H[tx] >= ((self.r1 * 4) >> sub):
+            return False  # below-left would start beyond the tile
+        f = self._dec[plane]
+        y0 = (y >> 2) - ((self._sb_mi[0] * 4) >> sub >> 2)
+        x0 = (x >> 2) - ((self._sb_mi[1] * 4) >> sub >> 2)
+        yq = y0 + (TX_H[tx] >> 2)
+        if yq + 1 >= f.shape[0]:
+            return False
+        return bool(f[yq + 1, x0])
 
     # ------------------------------------------------------------------
     # partition tree
@@ -601,6 +621,13 @@ class TileCoder:
         has_chroma = self._has_chroma(r, c, bsize)
         self._cur_tx = MAX_TX_SIZE_RECT[bsize]  # refined after mode info
         if self.encoding:
+            if self.fh.tx_mode == 2 and bsize != 0 and self.planner:
+                # the planner's tx depth shapes the residual plan (txb
+                # iteration, per-sub-block prediction); the matching
+                # symbol is coded later by _read_block_tx_size
+                for _ in range(int(self.planner.tx_depth(self, r, c,
+                                                         bsize))):
+                    self._cur_tx = _SUB_TX[self._cur_tx]
             planned = self._plan_residuals(r, c, bsize, y_mode, uv_mode,
                                            has_chroma)
             skip = int(all(t is None or t["eob"] == 0 for t in planned))
@@ -683,9 +710,6 @@ class TileCoder:
         max_tx = MAX_TX_SIZE_RECT[bsize]
         if self.fh.tx_mode != 2 or bsize == 0:
             return max_tx
-        if self.encoding:
-            assert self.fh.tx_mode == TX_MODE_LARGEST, "encode uses LARGEST"
-            return max_tx
         cat = _tx_size_cat(bsize)
         max_w, max_h = TX_W[max_tx], TX_H[max_tx]
         has_above = r > self.r0
@@ -700,7 +724,15 @@ class TileCoder:
             ctx = l
         else:
             ctx = 0
-        depth = self.coder.sym(self.cdfs.tx_size[cat][ctx])
+        if self.encoding:
+            # planner-chosen uniform tx depth (spec: one depth per intra
+            # block; every tx block predicts from its own local edges)
+            depth = 0
+            if self.planner is not None:
+                depth = int(self.planner.tx_depth(self, r, c, bsize))
+            self.coder.sym(self.cdfs.tx_size[cat][ctx], depth)
+        else:
+            depth = self.coder.sym(self.cdfs.tx_size[cat][ctx])
         tx = max_tx
         for _ in range(depth):
             tx = _SUB_TX[tx]
@@ -741,9 +773,10 @@ class TileCoder:
         have_above = y > ((self.r0 * 4) >> sub)
         have_left = x > ((self.c0 * 4) >> sub)
         have_ur = have_above and self._have_above_right(plane, x, y, tx)
+        have_bl = have_left and self._have_below_left(plane, x, y, tx)
         above, left, corner = build_edges(
             recon, x, y, w, h, have_above, have_left, self.bd,
-            have_above_right=have_ur)
+            have_above_right=have_ur, have_below_left=have_bl)
         return predict_intra(mode, above, left, corner, w, h,
                              have_above, have_left, self.bd)
 

@@ -15,6 +15,8 @@
  * signals the true size via render_size), single tile, 8-bit.
  */
 
+#include <stdio.h>
+#include <stdlib.h>
 #include <stdint.h>
 #include <string.h>
 
@@ -161,6 +163,10 @@ struct Coder {
     Ec ec;
     bool update = true;
     void sym(Cdf &c, int s) {
+        static FILE *trace_fp =
+            getenv("AV1PACK_TRACE") ? fopen(getenv("AV1PACK_TRACE"), "a")
+                                    : nullptr;
+        if (trace_fp) { fprintf(trace_fp, "%d %d\n", c.n, s); fflush(trace_fp); }
         ec.encode(s, c.v, c.n);
         if (update) c.update(s);
     }
@@ -183,6 +189,8 @@ struct Tile {
     Cdf uv_mode[2][13];
     Cdf angle_delta[8];
     Cdf ext_tx2[4][13];
+    Cdf ext_tx1[4][13];     // intra tx set 1 (4x4/8x8 sub-tx), 7 symbols
+    Cdf tx_size_c[4][3];    // tx depth per category (TX_MODE_SELECT)
     Cdf skip[3];
     Cdf txb_skip[5][13];
     Cdf eob_pt256[2][2], eob_pt64[2][2], eob_pt1024[2][2], eob_pt16[2][2];
@@ -196,6 +204,8 @@ struct Tile {
     std::vector<int8_t> above_skip, left_skip;   // per block (16px)
     std::vector<int8_t> above_mode, left_mode;   // ctx-mapped y mode
     std::vector<int32_t> a_lvl[3], l_lvl[3], a_dc[3], l_dc[3];  // 4-px units
+    std::vector<int32_t> above_txw, left_txh;    // per mi, tx dims (SELECT)
+    int tx_select = 0;  // frame header tx_mode == TX_MODE_SELECT
 
     void init(int q, int rows, int cols) {
         mi_rows = rows;
@@ -211,6 +221,11 @@ struct Tile {
         for (int i = 0; i < 8; i++) angle_delta[i].init(&tab_angle_delta[i][0], 7);
         for (int i = 0; i < 4; i++)
             for (int j = 0; j < 13; j++) ext_tx2[i][j].init(&tab_intra_ext_tx_2[i][j][0], 5);
+        for (int i = 0; i < 4; i++)
+            for (int j = 0; j < 13; j++) ext_tx1[i][j].init(&tab_intra_ext_tx_1[i][j][0], 7);
+        for (int i = 0; i < 4; i++)
+            for (int j = 0; j < 3; j++)
+                tx_size_c[i][j].init(&tab_tx_size[i][j][0], i == 0 ? 2 : 3);
         for (int i = 0; i < 3; i++) skip[i].init(&tab_skip[i][0], 2);
         for (int t = 0; t < 5; t++)
             for (int c2 = 0; c2 < 13; c2++) txb_skip[t][c2].init(&tab_txb_skip[qctx][t][c2][0], 2);
@@ -240,6 +255,8 @@ struct Tile {
         left_skip.assign(mi_rows, 0);
         above_mode.assign(mi_cols, 0);
         left_mode.assign(mi_rows, 0);
+        above_txw.assign(mi_cols, 64);
+        left_txh.assign(mi_rows, 64);
         for (int p2 = 0; p2 < 3; p2++) {
             a_lvl[p2].assign(mi_cols + 8, 0);
             l_lvl[p2].assign(mi_rows + 8, 0);
@@ -355,6 +372,8 @@ static void visit_cdfs(Tile &T, F f) {
     for (auto &c : T.mv_fp_c) f(c);
     for (auto &row : T.mv_bits_c) for (auto &c : row) f(c);
     for (auto &c : T.inter_tx3_c) f(c);
+    for (auto &row : T.ext_tx1) for (auto &c : row) f(c);
+    for (auto &row : T.tx_size_c) for (auto &c : row) f(c);
 }
 
 static void tile_dump_cdfs(Tile &T, int32_t *out) {
@@ -398,9 +417,12 @@ static int compute_eob(const int32_t *lv, const int32_t *scan, int ncoef) {
 
 static void code_coeffs(Tile &T, int plane, int x, int y, int n,
                         const int32_t *lv, int tx_type_sym, int y_mode,
-                        int n_ctx = 0, bool is_inter = false) {
+                        int n_ctx = 0, bool is_inter = false,
+                        int intra_sub = 0) {
     // n = coded dim (4/8/16/32); n_ctx = tx dim (== n except TX_64X64
-    // luma, where the tx is 64 but only the top-left 32x32 is coded)
+    // luma, where the tx is 64 but only the top-left 32x32 is coded);
+    // intra_sub = parent intra block luma dim when the tx is a sub-block
+    // of it (TX_MODE_SELECT depth > 0)
     if (!n_ctx) n_ctx = n;
     int txs = n_ctx == 64 ? 4
              : (n == 32 ? 3 : (n == 16 ? 2 : (n == 8 ? 1 : 0)));
@@ -411,9 +433,22 @@ static void code_coeffs(Tile &T, int plane, int x, int y, int n,
                             : (n == 8 ? &scan_8_8[0] : &scan_4_4[0]));
     int ncoef = n * n;
 
-    // txb_skip ctx: block size == tx size -> 0 for luma; 7+a+l chroma
+    // txb_skip ctx: block size == tx size -> 0 for luma (else the
+    // spec's neighbor-level formula); 7+a+l chroma
     int ctx;
-    if (plane == 0) ctx = 0;
+    if (plane == 0 && intra_sub > n) {
+        int top = 0, left = 0;
+        for (int i = 0; i < w4; i++) {
+            if (T.a_lvl[0][x4 + i] > top) top = T.a_lvl[0][x4 + i];
+            if (T.l_lvl[0][y4 + i] > left) left = T.l_lvl[0][y4 + i];
+        }
+        if (top == 0 && left == 0) ctx = 1;
+        else if (top == 0 || left == 0)
+            ctx = 2 + ((top > left ? top : left) > 3);
+        else if ((top > left ? top : left) <= 3) ctx = 4;
+        else if ((top < left ? top : left) <= 3) ctx = 5;
+        else ctx = 6;
+    } else if (plane == 0) ctx = 0;
     else {
         int a = 0, l = 0;
         for (int i = 0; i < w4; i++) {
@@ -442,6 +477,9 @@ static void code_coeffs(Tile &T, int plane, int x, int y, int n,
         // tx type, intra set 2 (16x16), cdf indexed by [tx_sqr][y mode];
         // 32x32 is tx-set 0 (DCT only), chroma types are derived
         T.co.sym(T.ext_tx2[2][y_mode], tx_type_sym);
+    } else if (plane == 0 && !is_inter && intra_sub > n) {
+        // intra sub-tx (4x4/8x8): tx set 1, 7 symbols, [tx_sqr][y mode]
+        T.co.sym(T.ext_tx1[n == 8 ? 1 : 0][y_mode], tx_type_sym);
     }
     // eob_pt (the 1024-coef table stores the 2D-class row first; smaller
     // tables store it second — see av1tpu/spec/tile.py is_1d_ctx)
@@ -550,6 +588,8 @@ struct Grids {
     const int16_t *vals = nullptr;
     // optional per-block luma modes (AV1 mode values; null = all V_PRED)
     const int16_t *modes = nullptr;
+    // optional per-block luma tx depth (0..2; null = all depth 0)
+    const int16_t *txd = nullptr;
     int uv_mode = 1;                       // chroma mode (V_PRED default)
     std::vector<uint32_t> voff;  // per-block value offset (y, then u, then v)
     int bcols = 0, brows = 0;
@@ -767,7 +807,8 @@ static const int INTRA_MODE_CTX[13] = {0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0};
 static void code_block_common(Tile &T, int r, int c, int n, int mode,
                               const int32_t *ly, const int32_t *lu,
                               const int32_t *lvp, bool zy, bool zu,
-                              bool zv, int uv = 1 /* V_PRED */) {
+                              bool zv, int uv = 1 /* V_PRED */,
+                              int txd = 0) {
     int skip = zy && zu && zv;
     int mi = n / 4;
 
@@ -783,6 +824,20 @@ static void code_block_common(Tile &T, int r, int c, int n, int mode,
     T.co.sym(T.uv_mode[cfl_allowed][mode], uv);
     if (uv >= 1 && uv <= 8)               // directional uv: angle delta 0
         T.co.sym(T.angle_delta[uv - 1], 3);
+
+    if (T.tx_select && n < 64) {
+        // luma tx depth (spec read_tx_size; intra codes it even on skip):
+        // category = TX_SIZE_SQR_UP(max tx) - 1; ctx from above/left dims
+        int cat = n == 32 ? 2 : (n == 16 ? 1 : 0);
+        int a = T.above_txw[c] >= n, l = T.left_txh[r] >= n;
+        int ctx = (r > 0 && c > 0) ? a + l : (r > 0 ? a : (c > 0 ? l : 0));
+        T.co.sym(T.tx_size_c[cat][ctx], txd);
+        int txn = skip ? n : (n >> txd);
+        for (int i = 0; i < mi; i++) {
+            T.above_txw[c + i] = txn;
+            T.left_txh[r + i] = txn;
+        }
+    }
 
     for (int i = 0; i < mi; i++) {
         T.above_skip[c + i] = skip;
@@ -800,7 +855,26 @@ static void code_block_common(Tile &T, int r, int c, int n, int mode,
         static const int kTx2SymForMode[13] =
             {1, 3, 4, 1, 2, 3, 4, 4, 3, 2, 3, 4, 2};
         int txsym = T.tx_from_mode ? kTx2SymForMode[mode] : 1;
-        code_coeffs(T, 0, c * 4, r * 4, nly, ly, txsym, mode, n);
+        if (txd > 0 && n <= 32) {
+            // sub-tx luma: raster tx blocks, tx set 1 symbol per block
+            // (spec Mode_To_Txfm into [IDTX, DCT_DCT, V_DCT, H_DCT,
+            // ADST_ADST, ADST_DCT, DCT_ADST])
+            static const int kTx1SymForMode[13] =
+                {1, 5, 6, 1, 4, 5, 6, 6, 5, 4, 5, 6, 4};
+            int txsym1 = T.tx_from_mode ? kTx1SymForMode[mode] : 1;
+            int nt = n >> txd;
+            int32_t sub[256];
+            for (int sy2 = 0; sy2 < n; sy2 += nt)
+                for (int sx = 0; sx < n; sx += nt) {
+                    for (int i = 0; i < nt; i++)
+                        for (int j = 0; j < nt; j++)
+                            sub[i * nt + j] = ly[(sy2 + i) * n + sx + j];
+                    code_coeffs(T, 0, c * 4 + sx, r * 4 + sy2, nt, sub,
+                                txsym1, mode, 0, false, n);
+                }
+        } else {
+            code_coeffs(T, 0, c * 4, r * 4, nly, ly, txsym, mode, n);
+        }
         code_coeffs(T, 1, c * 2, r * 2, n / 2, lu, 0, 0);
         code_coeffs(T, 2, c * 2, r * 2, n / 2, lvp, 0, 0);
     } else {
@@ -823,8 +897,9 @@ static void code_block(Tile &T, Grids &G, int r, int c) {
     int by = r / 4, bx = c / 4;
     G.load(by, bx);
     int mode = G.modes ? (int)G.modes[(size_t)by * G.bcols + bx] : 1;
+    int txd = G.txd ? (int)G.txd[(size_t)by * G.bcols + bx] : 0;
     code_block_common(T, r, c, 16, mode, G.sy, G.su, G.sv, G.zy, G.zu,
-                      G.zv, G.uv_mode);
+                      G.zv, G.uv_mode, txd);
 }
 
 static void code_partition_part(Tile &T, GridsPart &G, int r, int c,
@@ -1552,15 +1627,17 @@ size_t pack_tile_v2_uv(const uint16_t *bitmap, const int16_t *vals,
                        const int16_t *modes, int uv_mode, int tx_from_mode,
                        int mi_rows, int mi_cols, int qindex,
                        int disable_update, uint8_t *out, size_t cap,
-                       const int32_t *cdf_in, int32_t *cdf_out) {
+                       const int32_t *cdf_in, int32_t *cdf_out,
+                       const int16_t *txd) {
     Tile T;
     T.init(qindex, mi_rows, mi_cols);
     T.init_inter();     // blob covers inter tables too (stay at defaults)
     T.tx_from_mode = tx_from_mode;
+    T.tx_select = txd != nullptr;  // frame header signals TX_MODE_SELECT
     tile_cdf_io(T, cdf_in, nullptr, false);
     T.co.update = !disable_update;
     Grids G;
-    G.bitmap = bitmap; G.vals = vals; G.modes = modes;
+    G.bitmap = bitmap; G.vals = vals; G.modes = modes; G.txd = txd;
     G.uv_mode = uv_mode;
     G.bcols = mi_cols / 4; G.brows = mi_rows / 4;
     G.build_offsets();

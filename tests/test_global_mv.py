@@ -30,7 +30,7 @@ def _periodic_pan_pair(h=128, w=192, shift=(3, 3), period=8, seed=5):
 
 def test_periodic_pan_true_mv():
     f0, f1 = _periodic_pan_pair()
-    mv8, _, _ = _search_mv(jnp.asarray(f1), jnp.asarray(f0),
+    mv8, _, _, _ = _search_mv(jnp.asarray(f1), jnp.asarray(f0),
                            jnp.float32(10.0), 255)
     mv = np.asarray(mv8).reshape(-1, 2)
     frac_true = float((mv == [24, 24]).all(axis=1).mean())
@@ -40,7 +40,7 @@ def test_periodic_pan_true_mv():
 def test_static_content_zero_mv():
     rng = np.random.RandomState(7)
     f = rng.randint(0, 255, (128, 192)).astype(np.int32)
-    mv8, _, _ = _search_mv(jnp.asarray(f), jnp.asarray(f),
+    mv8, _, _, _ = _search_mv(jnp.asarray(f), jnp.asarray(f),
                            jnp.float32(10.0), 255)
     assert (np.asarray(mv8) == 0).all()
 

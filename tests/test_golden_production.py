@@ -128,7 +128,7 @@ def test_golden_production_chain(tmp_path):
             gld_y=gld_np[0], gld_u=gld_np[1], gld_v=gld_np[2]).items()}
         any_gld |= bool(o["ref16"].any())
         fused_k = fuse_planes(clip.y[k], clip.u[k], clip.v[k])
-        buf, ref = _gop_step_part(fused_k, ref, q, h, w, 131072, lf3,
+        buf, ref, _mv = _gop_step_part(fused_k, ref, q, h, w, 131072, lf3,
                                   cdef_j, gld_fused=gld_dev)
         s, recon = ef.encode_interframe(clip.y[k], clip.u[k], clip.v[k],
                                         recons[-1], cfg,

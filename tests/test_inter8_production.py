@@ -126,7 +126,7 @@ def test_inter8_production_chain_deblock_cdef(tmp_path):
             np.asarray(recons[-1][2]), q).items()}
         any_split |= bool(o["split16"].any())
         fused_k = fuse_planes(clip.y[k], clip.u[k], clip.v[k])
-        buf, ref = _gop_step_part(fused_k, ref, q, h, w, 131072, lf3,
+        buf, ref, _mv = _gop_step_part(fused_k, ref, q, h, w, 131072, lf3,
                                   cdef_j)
         s, recon = ef.encode_interframe(clip.y[k], clip.u[k], clip.v[k],
                                         recons[-1], cfg,

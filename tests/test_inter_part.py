@@ -92,7 +92,7 @@ def test_gop_chunk_part_transport_roundtrip():
                               np.int32)
     frames = np.stack([fuse_planes(clip.y[k], clip.u[k], clip.v[k])
                        for k in (1, 2)])
-    bufs, _ = encode_gop_chunk_part(frames, ref, q, 64, 128)
+    bufs, _, _mv = encode_gop_chunk_part(frames, ref, q, 64, 128)
     prev = (np.asarray(out0["recon_y"]), np.asarray(out0["recon_u"]),
             np.asarray(out0["recon_v"]))
     for k in range(2):

@@ -114,7 +114,7 @@ def main():
     cdef_j = jax.numpy.asarray(cdef_s)
 
     def inter_chunk():
-        bufs, r = encode_gop_chunk_part(
+        bufs, r, _mv = encode_gop_chunk_part(
             fused_dev, ref_cdef, q, ch, cw, cap=163840,
             lf=(ilf[0], ilf[2], ilf[3]), cdef_s=cdef_j)
         jax.block_until_ready(r)

@@ -279,17 +279,21 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                                for i in range(s0, e0)])
             ntf = min(7, e0 - s0 - 1) if key_tf else 0
             key_gate = 0.0
+            inter_gate = 0.0
             if ntf > 0:
                 from av1tpu.models.tfilter import temporal_filter_key
                 with clock("tfilter"):
                     neigh = np.stack([frames[min(1 + j, ntf)]
                                       for j in range(7)])
-                    filt, sig = temporal_filter_key(
+                    filt, sig, sig1 = temporal_filter_key(
                         jax.device_put(frames[0]), jax.device_put(neigh),
                         ch, cw, bit_depth=bd)
                     frames = frames.copy()
                     frames[0] = np.asarray(filt)
                     key_gate = float((3.0 * sig) ** 2)
+                    # inter frames code raw sources: their residual noise
+                    # is the full per-frame sigma, not the filtered one
+                    inter_gate = float((3.0 * sig1) ** 2)
             scenes.append({
                 "frames": frames,
                 "q": q, "key_q": key_q,
@@ -300,6 +304,7 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                 "key_lf": (0, 0, 0) if partitions else (lyk, luk, lvk),
                 "inter_lf": (ly_i, lu_i, lv_i),
                 "key_gate": key_gate,
+                "inter_gate": inter_gate,
             })
         key_kind = "wave" if partitions else "v"
         done_frames = 0
@@ -375,6 +380,7 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             # average toward the key)
             key_src = fused0_dev
             key_gate = jax.numpy.float32(0.0)
+            inter_gate = jax.numpy.float32(0.0)
             if ntf > 0:
                 from av1tpu.models.tfilter import temporal_filter_key
                 with clock("tfilter"):
@@ -382,12 +388,14 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                         [fuse_planes(*padded(min(s0 + 1 + j, e0 - 1)),
                                      bit_depth=bd) if j < ntf else fused0
                          for j in range(7)])
-                    key_src, key_sig = temporal_filter_key(
+                    key_src, key_sig, key_sig1 = temporal_filter_key(
                         fused0_dev, jax.device_put(neigh), ch, cw,
                         bit_depth=bd)
                     # RDOQ noise floor for the keyframe: coefficients
                     # inside the (3 sigma)^2 band explain noise only
                     key_gate = (3.0 * key_sig) ** 2
+                    # inter frames code raw sources (full per-frame noise)
+                    inter_gate = (3.0 * key_sig1) ** 2
             # CDF carry chain: keyframe saves its end-of-frame CDFs, every
             # inter frame in the scene loads the previous frame's and saves
             # its own (primary_ref_frame = LAST)
@@ -462,7 +470,7 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                             bufs, ref, mv_carry = gop_fn(
                                 fused_dev, ref_in, q, ch, cw, cap=cap,
                                 lf=inter_lf, cdef_s=cdef_j, gld_fused=gld,
-                                prev_mv=mv_in)
+                                prev_mv=mv_in, noise_gate=inter_gate)
                         else:
                             bufs, ref = gop_fn(fused_dev, ref_in,
                                                q, ch, cw, cap=cap,

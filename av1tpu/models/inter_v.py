@@ -957,13 +957,17 @@ def _rate_of(lv):
 
 
 def _code_nn(src, pred, fwd, step, q, dq_shift: int, cap, pix_max,
-             rm=None, qctx=None, lam=None, gains=None):
+             rm=None, qctx=None, lam=None, gains=None, noise_gate=None):
     """Generic n x n DCT residual coding on (..., n, n) blocks.  Returns
     (levels i32, recon, dist_pix f32, rate f32).  rm: optional
     rates.RateModel — expected bits from the real coefficient CDFs
     (qctx: traced quality bucket); without it, the log2 proxy.  With lam
     + gains (rdoq.coef_gains), near-threshold levels whose bit cost
-    exceeds their distortion value are pruned (rdoq.rd_zero)."""
+    exceeds their distortion value are pruned (rdoq.rd_zero).
+    noise_gate: optional traced (3*sigma)^2 sensor-noise floor —
+    coefficients inside it explain per-frame noise, useless to every
+    frame referencing this one (the same floor the keyframe RDOQ uses;
+    SVT's equivalent is its tf-guided dropout)."""
     n = src.shape[-1]
     sh = src.shape[:-2]
     resid = (src - pred).reshape(-1, n * n).astype(jnp.float32)
@@ -973,7 +977,7 @@ def _code_nn(src, pred, fwd, step, q, dq_shift: int, cap, pix_max,
         from av1tpu.models.rdoq import rd_zero
         lv = rd_zero(lv, coefs,
                      q.astype(jnp.float32) * (0.5 ** dq_shift),
-                     lam, rm.tabs[qctx], gains)
+                     lam, rm.tabs[qctx], gains, noise_gate=noise_gate)
     dq = lv * q
     if dq_shift:
         dq = jnp.sign(dq) * (jnp.abs(dq) >> dq_shift)
@@ -1022,7 +1026,8 @@ def _fwd64_inter():
 
 
 def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
-                     bit_depth: int, sub8=None, use_g=None):
+                     bit_depth: int, sub8=None, use_g=None,
+                     noise_gate=None):
     """Partition RDO on top of the 16-grid search results.
 
     src_b/pred_b: (rows, cols, 16, 16) luma; src_cb/pred_cb: pairs of
@@ -1089,12 +1094,13 @@ def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
         where the GOP step's HLO size (and so its compile time) lives."""
         t = _code_nn(jnp.stack(src_pair), jnp.stack(pred_pair), fwd, step,
                      q, dq_shift, cap, pix_max, rm, qctx, lam_full,
-                     gains)
+                     gains, noise_gate)
         return (tuple(x[0] for x in t), tuple(x[1] for x in t))
 
     # ---- 16 leaf (luma + chroma) ----
     y16t = _code_nn(src_b, pred_b, fwd16, step16, q16, 0,
-                    cap16, pix_max, rm16y, qctx, lam_full, g16)
+                    cap16, pix_max, rm16y, qctx, lam_full, g16,
+                    noise_gate)
     cl = _code_nn_uv(src_cb, pred_cb, fwd8, step8, q8, 0, cap8, rm8c, g8)
     _, (lv16, rec16, d16, r16), (lu8, recu8, du8, ru8), \
         (lv8, recv8, dv8, rv8) = _skip_rdo(lam_full, y16t, cl[0], cl[1],
@@ -1113,7 +1119,7 @@ def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
         sc4 = [_quads(s, 4) for s in src_cb]
         pc4 = sub8["pred_uv"]              # (2, rows8, cols8, 4, 4)
         y8t = _code_nn(src8, sub8["pred"], fwd8, step8, q8, 0, cap8,
-                       pix_max, rm8y, qctx, lam_full, g8g)
+                       pix_max, rm8y, qctx, lam_full, g8g, noise_gate)
         c4 = _code_nn_uv(sc4, (pc4[0], pc4[1]), fwd4, step4, q4, 0, cap4,
                          rm4c, g4g)
         _, (l8y, rec8y, d8, r8), (l4u, rec4u, du4, ru4), \
@@ -1139,7 +1145,8 @@ def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
     s32 = _join_blocks(src_b, 2)
     p32 = _join_blocks(pred_b, 2)
     y32t = _code_nn(s32, p32, fwd32, step32 * 0.5, q32, 1,
-                    cap32, pix_max, rm32y, qctx, lam_full, g32)
+                    cap32, pix_max, rm32y, qctx, lam_full, g32,
+                    noise_gate)
     sc16 = [_join_blocks(s, 2) for s in src_cb]
     pc16 = [_join_blocks(p, 2) for p in pred_cb]
     cc = _code_nn_uv(sc16, pc16, fwd16, step16, q16, 0, cap16, rm16c, g16)
@@ -1170,7 +1177,7 @@ def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
     coef64 = resid64 @ f64.T
     lv64 = quantize_coefs(coef64, step32 * 0.25, cap32)
     lv64 = rd_zero(lv64, coef64, q32.astype(jnp.float32) * 0.25,
-                   lam_full, rm64y.tabs[qctx], g64)
+                   lam_full, rm64y.tabs[qctx], g64, noise_gate=noise_gate)
     dq64 = jnp.sign(lv64) * ((jnp.abs(lv64) * q32) >> 2)
     full = jnp.zeros((rows64 * cols64, 64, 64), jnp.int32).at[
         :, :32, :32].set(dq64.reshape(-1, 32, 32))
@@ -1279,7 +1286,8 @@ def _inter_partition(src_b, pred_b, src_cb, pred_cb, mv8, qindex,
 @functools.partial(jax.jit, static_argnames=("bit_depth",))
 def encode_inter_part(y, u, v, ref_y, ref_u, ref_v, qindex,
                       bit_depth: int = 8, sub8: bool = True,
-                      gld_y=None, gld_u=None, gld_v=None, prev_mv=None):
+                      gld_y=None, gld_u=None, gld_v=None, prev_mv=None,
+                      noise_gate=None):
     """Partitioned inter encode: 16-grid motion search, 16->8x8 splits at
     motion boundaries, then 32/64 merge RDO.  Returns per-size level
     grids, MV grids (per-16 "mv" + per-8 "mv8"), split maps, a per-16
@@ -1325,7 +1333,7 @@ def encode_inter_part(y, u, v, ref_y, ref_u, ref_v, qindex,
     out = _inter_partition(src_b, pred_y,
                            (_to_blocks(u, 8), _to_blocks(v, 8)),
                            (pred_u, pred_v), mv8, qindex, bit_depth,
-                           sub8=s8, use_g=use_g)
+                           sub8=s8, use_g=use_g, noise_gate=noise_gate)
     out["mv"] = mv8
     out["mv_px"] = mv_px               # full-pel per-16 winner: the next
     # frame's temporal search candidate (golden blocks keep their
@@ -1345,7 +1353,7 @@ def inter_part_sizes(height: int, width: int):
 
 def _gop_step_part_body(frame_u8, ref_fused, qindex, height: int,
                         width: int, cap: int, lf3=None, cdef_s=None,
-                        gld_fused=None, prev_mv=None):
+                        gld_fused=None, prev_mv=None, noise_gate=None):
     """Partitioned _gop_step body: one inter frame, union-layout compact
     transport [count, bitmap, vals, split16, split32, split64, ref16,
     mv_y, mv_x].  lf3/cdef_s may be traced (see _gop_step_body); the
@@ -1374,7 +1382,8 @@ def _gop_step_part_body(frame_u8, ref_fused, qindex, height: int,
         gy, gu, gv = unfuse(gld_fused)
         gkw = {"gld_y": gy, "gld_u": gu, "gld_v": gv}
     o = encode_inter_part(yy, uu, vv, ry, ru, rv, qindex,
-                          bit_depth=bit_depth, prev_mv=prev_mv, **gkw)
+                          bit_depth=bit_depth, prev_mv=prev_mv,
+                          noise_gate=noise_gate, **gkw)
     y16 = _merge_quads(o["lv16"], o["lv32"], 16)
     y16 = _embed64(y16, o["lv64"])
     u8 = _merge_quads(o["lu8"], o["lu16"], 8)
@@ -1433,18 +1442,20 @@ def _gop_step_part_body(frame_u8, ref_fused, qindex, height: int,
                    static_argnames=("height", "width", "cap", "lf"))
 def _gop_step_part(frame_u8, ref_fused, qindex, height: int, width: int,
                    cap: int, lf=None, cdef_s=None, gld_fused=None,
-                   prev_mv=None):
+                   prev_mv=None, noise_gate=None):
     """Jit of _gop_step_part_body with static lf levels (the single-device
     CLI path)."""
     lf3 = jnp.asarray(lf, jnp.int32) if (lf is not None and any(lf)) \
         else None
     return _gop_step_part_body(frame_u8, ref_fused, qindex, height, width,
-                               cap, lf3, cdef_s, gld_fused, prev_mv)
+                               cap, lf3, cdef_s, gld_fused, prev_mv,
+                               noise_gate)
 
 
 def encode_gop_chunk_part(frames_u8, ref_fused, qindex, height: int,
                           width: int, cap: int = 131072, lf=None,
-                          cdef_s=None, gld_fused=None, prev_mv=None):
+                          cdef_s=None, gld_fused=None, prev_mv=None,
+                          noise_gate=None):
     """Partitioned counterpart of encode_gop_chunk (host loop, device
     carry, per-frame buffers fetchable while later frames compute).
     gld_fused: optional GOLDEN reference (the scene keyframe's filtered
@@ -1461,7 +1472,7 @@ def encode_gop_chunk_part(frames_u8, ref_fused, qindex, height: int,
     for k in range(frames_u8.shape[0]):
         buf, ref, mv = _gop_step_part(frames_u8[k], ref, qindex, height,
                                       width, cap, lf, cdef_s, gld_fused,
-                                      mv)
+                                      mv, noise_gate)
         bufs.append(buf)
     return bufs, ref, mv
 

@@ -102,7 +102,8 @@ def _tf_body(key_fused, neigh_fused, height: int, width: int,
     # divides the variance by ~D (per-pixel weights make it approximate)
     sigma_tf = sigma1 / jnp.sqrt(jnp.maximum(jnp.mean(den_y), 1.0))
     return (jnp.concatenate([out_y.reshape(-1), out_u.reshape(-1),
-                             out_v.reshape(-1)]).astype(dt), sigma_tf)
+                             out_v.reshape(-1)]).astype(dt), sigma_tf,
+            sigma1)
 
 
 @functools.partial(jax.jit,
@@ -112,7 +113,10 @@ def temporal_filter_key(key_fused, neigh_fused, height: int, width: int,
     """Filter one fused keyframe against (K, n_pix) fused neighbors.
     Returns (filtered fused frame in the source dtype, estimated residual
     noise sigma of the filtered frame — feeds the keyframe RDOQ noise
-    floor).  Callers pad the neighbor stack with copies of the key itself
-    to keep one compiled shape (a self-neighbor is an exact match and
-    just deepens the average toward the key)."""
+    floor, and the UNfiltered per-frame sensor-noise sigma — feeds the
+    inter frames' noise floor, since they code raw sources whose residual
+    carries the full per-frame noise).  Callers pad the neighbor stack
+    with copies of the key itself to keep one compiled shape (a
+    self-neighbor is an exact match and just deepens the average toward
+    the key)."""
     return _tf_body(key_fused, neigh_fused, height, width, bit_depth)

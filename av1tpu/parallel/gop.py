@@ -76,18 +76,21 @@ def _scenes_cdef(refs, srcs, skip8s, height: int, width: int,
 @functools.partial(jax.jit,
                    static_argnames=("height", "width", "cap", "part"))
 def _scenes_step(frames, refs, qs, lf3s, cdefs, height: int, width: int,
-                 cap: int, part: bool, glds=None, mvs=None):
+                 cap: int, part: bool, glds=None, mvs=None, gates=None):
     """One batched inter step: (S, n_pix) frames against (S, n_pix) refs.
     glds: optional (S, n_pix) GOLDEN references (the filtered keyframes)
     for per-block two-ref coding; mvs: (S, rows, cols, 2) previous-frame
-    full-pel MV fields (temporal search candidates) — both partitioned
-    path only.  Partitioned returns (bufs, refs, mvs)."""
+    full-pel MV fields (temporal search candidates); gates: (S,) float32
+    per-scene RDOQ sensor-noise floors — all partitioned path only.
+    Partitioned returns (bufs, refs, mvs)."""
     if part:
         assert glds is not None and mvs is not None
+        if gates is None:
+            gates = jnp.zeros(frames.shape[0], jnp.float32)
         return jax.vmap(
-            lambda f, r, q, l, c, g, m: _gop_step_part_body(
-                f, r, q, height, width, cap, l, c, g, m)
-        )(frames, refs, qs, lf3s, cdefs, glds, mvs)
+            lambda f, r, q, l, c, g, m, ng: _gop_step_part_body(
+                f, r, q, height, width, cap, l, c, g, m, ng)
+        )(frames, refs, qs, lf3s, cdefs, glds, mvs, gates)
     return jax.vmap(
         lambda f, r, q, l, c: _gop_step_body(f, r, q, height, width, cap,
                                              l, c)
@@ -179,6 +182,8 @@ class SceneBatchEncoder:
         mvs = _shard(self.mesh, jnp.zeros(
             (S, self.h // 16, self.w // 16, 2), jnp.int32)) if part \
             else None
+        igates = _shard(self.mesh, jnp.asarray(
+            [s.get("inter_gate", 0.0) for s in self.scenes], jnp.float32))
         pending = None  # one-step fetch window: step t's transfer + host
         for t in range(1, self.lmax):  # work overlap step t+1's compute
             ft = _shard(self.mesh,
@@ -186,7 +191,7 @@ class SceneBatchEncoder:
             if part:
                 bufs, refs, mvs = _scenes_step(
                     ft, refs, iqs_d, ilf_d, cdefs, self.h, self.w,
-                    inter_cap, part, glds=glds, mvs=mvs)
+                    inter_cap, part, glds=glds, mvs=mvs, gates=igates)
             else:
                 bufs, refs = _scenes_step(ft, refs, iqs_d, ilf_d, cdefs,
                                           self.h, self.w, inter_cap, part)

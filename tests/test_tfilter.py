@@ -39,11 +39,12 @@ def test_denoises_matched_pan():
     clean0 = canvas[:H, :W]
     frames = [_fused(canvas[2 * t : 2 * t + H, 3 * t : 3 * t + W]
                      + rng.normal(0, 2.0, (H, W))) for t in range(4)]
-    out, sig = temporal_filter_key(
+    out, sig, sig1 = temporal_filter_key(
         jax.device_put(frames[0]), jnp.asarray(np.stack(frames[1:])),
         H, W)
     out = np.asarray(out)
     assert 0.5 < float(sig) < 3.0  # sigma=2 source, ~halved by TF
+    assert 1.0 < float(sig1) < 4.0  # unfiltered per-frame sigma ~ 2
     noisy = np.asarray(frames[0][: H * W]).reshape(H, W).astype(np.float64)
     filt = out[: H * W].reshape(H, W).astype(np.float64)
     mse_noisy = float(np.mean((noisy - clean0) ** 2))

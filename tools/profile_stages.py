@@ -29,6 +29,10 @@ def t(fn, *args, reps=3, **kw):
 def main():
     import jax
 
+    from av1tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from av1tpu.coding import Packer
     from av1tpu.core.scenes import scene_scores
     from av1tpu.models.cdef_tpu import (

@@ -79,7 +79,8 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                 partitions: bool = True, scene_threshold: float = 2.5,
                 gop: bool = True, key_q_boost: int = KEY_Q_BOOST,
                 key_lam_scale: float = 0.3, key_tf: bool = True,
-                workers: int = 1) -> tuple[list[bytes], dict]:
+                workers: int = 1, layers: int = 1,
+                nr_q_delta: int = 12) -> tuple[list[bytes], dict]:
     """Encode a Clip into AV1 TUs.  gop=True (the production mode) codes one
     keyframe per scene and inter frames in between, matching the reference's
     operating point (av1an --keyint 240, crates/daemon/src/encode/av1an.rs:14);
@@ -93,7 +94,8 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
     from av1tpu.coding import Packer
     from av1tpu.models.cq import cq_search_multi, probe_quality_multi
     from av1tpu.models.inter_v import (
-        encode_gop_chunk, encode_gop_chunk_part, split_compact_inter,
+        encode_gop_chunk, encode_gop_chunk_part, encode_gop_chunk_layered,
+        fetch_inter_part_prefix, split_compact_inter,
         split_compact_inter_part,
     )
     from av1tpu.models.intra_part import (
@@ -234,8 +236,12 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
 
     ncoef = ch * cw + 2 * (ch // 2) * (cw // 2)
 
-    def pack_inter_tile(buf, q, cdfs_c, cdef_s):
-        """Split + pack one inter frame's compact buffer into a TU."""
+    def pack_inter_tile(buf, q, cdfs_c, cdef_s, nonref: bool = False):
+        """Split + pack one inter frame's compact buffer into a TU.
+        nonref: a 2-layer pyramid non-reference frame — refresh no ref
+        slots, leave the CDF chain untouched (cdf_out=None), and signal
+        zero in-loop filters (the device skipped them, so decoder output
+        still equals the device recon)."""
         if partitions:
             (count, bm, vals, s16, s32, s64, ref16,
              mv) = split_compact_inter_part(buf, ch, cw)
@@ -243,8 +249,8 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                 raise _CapacityExceeded(count)
             tile = packer.pack_tile_inter_part(
                 bm, vals, s32, s64, mv, ch, cw, q,
-                cdf_in=cdfs_c, cdf_out=cdfs_c, split16=s16,
-                refs=ref16 if ref16.any() else None)
+                cdf_in=cdfs_c, cdf_out=None if nonref else cdfs_c,
+                split16=s16, refs=ref16 if ref16.any() else None)
         else:
             count, bm, vals, mv = split_compact_inter(buf, ch, cw)
             if count > len(vals):
@@ -252,12 +258,13 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             tile = packer.pack_tile_inter(
                 bm, vals, mv, ch, cw, q,
                 cdf_in=cdfs_c, cdf_out=cdfs_c)
-        ilf = lf_levels(q)
+        ilf = (0, 0, 0, 0) if nonref else lf_levels(q)
         return _wrap_tu_inter(
             tile, cw, ch, width, height, q, bd,
             lf=(ilf[0], ilf[0], ilf[2], ilf[3]), primary_ref=0,
-            cdf_save=True, cdef=tuple(int(x) for x in cdef_s),
-            golden=partitions)
+            cdf_save=not nonref,
+            cdef=(0, 0, 0, 0) if nonref else tuple(int(x) for x in cdef_s),
+            golden=partitions, refresh=not nonref)
 
     n_dev = jax.device_count()
     if gop and workers > 1 and n_dev > 1 and len(segments) > 1:
@@ -283,8 +290,13 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             if ntf > 0:
                 from av1tpu.models.tfilter import temporal_filter_key
                 with clock("tfilter"):
-                    neigh = np.stack([frames[min(1 + j, ntf)]
-                                      for j in range(7)])
+                    # pad with the KEY itself past the real neighbors
+                    # (self-neighbor = exact match), matching the
+                    # single-device path exactly — padding with the last
+                    # real neighbor instead made workers-N streams
+                    # diverge from workers-1 on short scenes
+                    neigh = np.stack([frames[1 + j] if j < ntf
+                                      else frames[0] for j in range(7)])
                     filt, sig, sig1 = temporal_filter_key(
                         jax.device_put(frames[0]), jax.device_put(neigh),
                         ch, cw, bit_depth=bd)
@@ -292,8 +304,12 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                     frames[0] = np.asarray(filt)
                     key_gate = float((3.0 * sig) ** 2)
                     # inter frames code raw sources: their residual noise
-                    # is the full per-frame sigma, not the filtered one
-                    inter_gate = float((3.0 * sig1) ** 2)
+                    # is the full per-frame sigma, not the filtered one.
+                    # 1.5x (not 3x): the per-coefficient noise ENERGY mean
+                    # is sigma^2, and 9 sigma^2 pruned real signal (the
+                    # keyframe's 3x rides on the ~sqrt(8)-smaller filtered
+                    # sigma, so its effective floor is ~1.1 sigma^2)
+                    inter_gate = float((1.5 * sig1) ** 2)
             scenes.append({
                 "frames": frames,
                 "q": q, "key_q": key_q,
@@ -379,8 +395,8 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             # pad with the key itself (exact match, just deepens the
             # average toward the key)
             key_src = fused0_dev
-            key_gate = jax.numpy.float32(0.0)
-            inter_gate = jax.numpy.float32(0.0)
+            key_gate = 0.0
+            inter_gate = 0.0
             if ntf > 0:
                 from av1tpu.models.tfilter import temporal_filter_key
                 with clock("tfilter"):
@@ -392,10 +408,28 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                         fused0_dev, jax.device_put(neigh), ch, cw,
                         bit_depth=bd)
                     # RDOQ noise floor for the keyframe: coefficients
-                    # inside the (3 sigma)^2 band explain noise only
-                    key_gate = (3.0 * key_sig) ** 2
-                    # inter frames code raw sources (full per-frame noise)
-                    inter_gate = (3.0 * key_sig1) ** 2
+                    # inside the (3 sigma)^2 band explain noise only.
+                    # Python-float gates (not traced device scalars) so
+                    # the single- and multi-device paths feed BIT-
+                    # IDENTICAL values into the RDOQ compare — a 1-ulp
+                    # difference flips keep/zero at the gate boundary
+                    # and breaks workers-N stream identity
+                    key_gate = float((3.0 * key_sig) ** 2)
+                    # inter frames code raw sources (full per-frame
+                    # noise); 1.5x — see the workers path note
+                    inter_gate = float((1.5 * key_sig1) ** 2)
+                    if os.environ.get("AV1TPU_NO_GATES"):
+                        key_gate = 0.0
+                        inter_gate = 0.0
+                    if os.environ.get("AV1TPU_NO_KEYFILT"):
+                        key_src = fused0_dev
+                    if os.environ.get("AV1TPU_DEBUG_TF"):
+                        _ky = np.asarray(key_src)[: ch * cw].astype(
+                            np.float64)
+                        _sy = fused0[: ch * cw].astype(np.float64)
+                        print("TFDBG", float(key_sig), float(key_sig1),
+                              float(np.mean((_ky - _sy) ** 2)),
+                              key_gate, inter_gate, file=sys.stderr)
             # CDF carry chain: keyframe saves its end-of-frame CDFs, every
             # inter frame in the scene loads the previous frame's and saves
             # its own (primary_ref_frame = LAST)
@@ -437,6 +471,7 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             gop_fn = (encode_gop_chunk_part if partitions
                       else encode_gop_chunk)
             bases = list(range(s0 + 1, e0, chunk))
+            fetch_state: dict = {}  # prefix-fetch size predictor
 
             def prep(base):
                 """Pad + fuse + upload one chunk.  Called for chunk N+1
@@ -459,14 +494,25 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
             gld = ref if partitions else None
             nxt = prep(bases[0]) if bases else None
             mv_carry = None  # temporal MV candidate chain (scene-local)
+            layered = layers >= 2 and partitions
+            q_nr = min(q + nr_q_delta, 255)
             for bi, base in enumerate(bases):
                 k, fused_dev = nxt
                 ref_in = ref
                 mv_in = mv_carry
+                pars = [0] * k
                 first = True
                 while True:
                     with clock("inter_dispatch"):
-                        if partitions:
+                        if layered:
+                            bufs, pars, ref, mv_carry = \
+                                encode_gop_chunk_layered(
+                                    fused_dev, ref_in, q, q_nr, ch, cw,
+                                    cap=cap, lf=inter_lf, cdef_s=cdef_j,
+                                    gld_fused=gld, prev_mv=mv_in,
+                                    start_parity=(base - s0) % 2,
+                                    noise_gate=inter_gate)
+                        elif partitions:
                             bufs, ref, mv_carry = gop_fn(
                                 fused_dev, ref_in, q, ch, cw, cap=cap,
                                 lf=inter_lf, cdef_s=cdef_j, gld_fused=gld,
@@ -487,24 +533,37 @@ def encode_clip(clip, qindex: int, chunk: int = 4, progress=None,
                     cdfs_c = cdfs.copy()
                     try:
                         for i in range(k):
-                            # per-frame fetch: frame i's transfer + host
-                            # pack overlap frames i+1..'s TPU compute
+                            # per-frame PREFIX fetch (the device->host
+                            # link is the bottleneck: only the used
+                            # ~100 KB crosses, not the dense ~1 MB);
+                            # frame i's transfer + host pack overlap
+                            # frames i+1..'s TPU compute
                             with clock("inter_fetch"):
-                                buf = np.asarray(bufs[i])
+                                if partitions:
+                                    buf = fetch_inter_part_prefix(
+                                        bufs[i], ch, cw, fetch_state)
+                                else:
+                                    buf = np.asarray(bufs[i])
                             with clock("inter_pack"):
-                                tus.append(pack_inter_tile(buf, q, cdfs_c,
-                                                           cdef_s))
+                                nr = bool(pars[i])
+                                tus.append(pack_inter_tile(
+                                    buf, q_nr if nr else q, cdfs_c,
+                                    cdef_s, nonref=nr))
                         break
                     except _CapacityExceeded as e:
                         cap = min(max(cap * 2, e.count), ncoef)
                         cdfs_c = cdfs.copy()
                 cdfs[:] = cdfs_c
                 streams.extend(tus)
-                if k == chunk:  # ref is the recon of the chunk's last
-                    with clock("psnr"):  # emitted frame vs the already-
-                        # resident chunk upload; kept as a device scalar so
-                        # the pipeline never syncs on a stats value
-                        psnrs.append(_recon_psnr(ref, fused_dev[k - 1]))
+                # ref holds the recon of the chunk's last REFERENCE frame
+                # (layered mode: the last even-parity frame)
+                last_ref = max((i for i in range(k) if not pars[i]),
+                               default=None)
+                if k == chunk and last_ref is not None:
+                    with clock("psnr"):  # emitted frame recon vs the
+                        # already-resident chunk upload; kept as a device
+                        # scalar so the pipeline never syncs on stats
+                        psnrs.append(_recon_psnr(ref, fused_dev[last_ref]))
                 if progress:
                     progress(base + k, n)
     else:
@@ -609,7 +668,7 @@ def _wrap_tu_inter(tile: bytes, coded_w: int, coded_h: int, render_w: int,
                    render_h: int, qindex: int, bit_depth: int = 8,
                    lf=(0, 0, 0, 0), primary_ref: int | None = None,
                    cdf_save: bool = False, cdef=None,
-                   golden: bool = False) -> bytes:
+                   golden: bool = False, refresh: bool = True) -> bytes:
     from av1tpu.spec.bits import BitWriter
     from av1tpu.spec.encode_frame import (
         EncoderConfig, make_frame_header_inter, make_sequence_header,
@@ -622,7 +681,7 @@ def _wrap_tu_inter(tile: bytes, coded_w: int, coded_h: int, render_w: int,
     seq = make_sequence_header(coded_w, coded_h, cfg)
     # golden: GOLDEN maps to slot 1, which holds the scene keyframe (the
     # keyframe refreshes every slot; inter frames refresh only slot 0)
-    fh = make_frame_header_inter(seq, cfg, golden=golden)
+    fh = make_frame_header_inter(seq, cfg, golden=golden, refresh=refresh)
     if primary_ref is not None:  # CDFs carried from LAST's saved state
         fh.primary_ref_frame = primary_ref
     if cdf_save:
@@ -689,7 +748,8 @@ def cmd_encode(args) -> int:
                 gop=not args.all_intra, key_q_boost=args.key_q_boost,
                 key_lam_scale=args.key_lam_scale,
                 key_tf=not args.no_key_tf,
-                workers=args.workers)
+                workers=args.workers, layers=args.layers,
+                nr_q_delta=args.nr_q_delta)
         log.info("encoded %d frames in %.2fs (%.2f fps), %d scenes",
                  stats["frames"], stats["encode_seconds"],
                  stats["encode_fps"], stats["scenes"])
@@ -739,6 +799,14 @@ def main(argv=None) -> int:
                           "of keyframes (SVT enable-tf equivalent)")
     enc.add_argument("--chunk", type=int, default=4,
                      help="frames per TPU round-trip")
+    enc.add_argument("--layers", type=int, choices=(1, 2), default=1,
+                     help="temporal layers: 2 = alternate NON-REFERENCE "
+                          "frames (refresh_frame_flags=0) coded at "
+                          "qindex + --nr-q-delta — the low-delay half of "
+                          "the anchor's lookahead pyramid")
+    enc.add_argument("--nr-q-delta", type=int, default=12,
+                     help="qindex penalty of non-reference frames "
+                          "(--layers 2)")
     enc.add_argument("--temp", default=None, help="temp directory")
     enc.add_argument("--max-frames", type=int, default=0)
     enc.add_argument("--target-quality", type=float, default=0.0,

@@ -348,15 +348,24 @@ CDEF_PRESETS = np.array([
 ], np.int32)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "bit_depth"))
+def _select_strengths_j(ref_fused, src_fused, skip8, height: int,
+                        width: int, bit_depth: int = 8):
+    presets = jnp.asarray(CDEF_PRESETS)
+    sses = jax.vmap(
+        lambda p: cdef_sse_fused(ref_fused, src_fused, skip8, p, height,
+                                 width, 3, bit_depth))(presets)
+    return jnp.argmin(sses)
+
+
 def select_strengths(ref_fused, src_fused, skip8, height: int, width: int,
                      bit_depth: int = 8) -> np.ndarray:
     """Frame-level CDEF strength search: try each preset, keep the one
-    with least distortion vs the source.  One compiled evaluation reused
-    for every preset (strengths are traced); dispatches are async so the
-    device pipelines the sweep."""
-    sses = [cdef_sse_fused(ref_fused, src_fused, skip8,
-                           jnp.asarray(p), height, width,
-                           bit_depth=bit_depth)
-            for p in CDEF_PRESETS]
-    best = int(np.argmin([float(s) for s in sses]))
+    with least distortion vs the source.  All presets evaluate in ONE
+    vmapped dispatch (argmin on device; a single scalar crosses the
+    link) — same tie-breaking as the scene-batched _scenes_cdef (first
+    minimum = weakest preset)."""
+    best = int(_select_strengths_j(ref_fused, src_fused, skip8, height,
+                                   width, bit_depth))
     return CDEF_PRESETS[best]

@@ -69,9 +69,21 @@ _GLOBAL_K = 4      # coarse global-shift candidates re-judged at full res
 
 
 def _block_sad(diff, n: int):
-    """(H, W) abs-diff -> (H/n, W/n) block sums."""
+    """(H, W) abs-diff -> (H/n, W/n) block sums (int32 accumulation: the
+    inputs may be int16, whose 256-element block sums overflow)."""
     h, w = diff.shape
-    return diff.reshape(h // n, n, w // n, n).sum(axis=(1, 3))
+    return diff.reshape(h // n, n, w // n, n).sum(axis=(1, 3),
+                                                  dtype=jnp.int32)
+
+
+def _sdt(pix_max: int):
+    """Smallest dtype holding a pixel: the search/MC patch tensors are
+    HBM-bandwidth bound, and pixels need 1 (8-bit) or 2 (10-bit) bytes,
+    not the int32 the coding path uses — a 4x/2x traffic cut on the
+    masked-select patch assemblies, the SAD sweeps and the filter
+    reads.  All arithmetic still happens in >=int16 registers (numpy
+    promotion); only the stored/streamed tensors shrink."""
+    return jnp.uint8 if pix_max == 255 else jnp.int16
 
 
 def _coarse_search(src_q, ref_q, lam, snap_margin):
@@ -85,8 +97,9 @@ def _coarse_search(src_q, ref_q, lam, snap_margin):
     rows, cols = hq // 4, wq // 4          # 4x4 quarter blocks = 16x16 full
     r = _COARSE_R
     nd = 2 * r + 1
-    pad = jnp.pad(ref_q, r, mode="edge")
-    rows_sh = jnp.stack([pad[r + dy : r + dy + hq, :]
+    src_q = src_q.astype(jnp.int16)        # quarter-res means fit int16;
+    pad = jnp.pad(ref_q.astype(jnp.int16), r, mode="edge")  # halves the
+    rows_sh = jnp.stack([pad[r + dy : r + dy + hq, :]       # sweep reads
                          for dy in range(-r, r + 1)])   # (nd, hq, wq+2r)
     dys = jnp.arange(-r, r + 1, dtype=jnp.int32)
 
@@ -106,7 +119,7 @@ def _coarse_search(src_q, ref_q, lam, snap_margin):
         cand = rows_sh[:, :, r + dx : r + dx + wq]      # (nd, hq, wq)
         diff = jnp.abs(src_q[None] - cand)
         sad = diff.reshape(nd, rows, 4, cols, 4).sum(
-            axis=(2, 4)).astype(jnp.float32)            # (nd, rows, cols)
+            axis=(2, 4), dtype=jnp.float32)             # (nd, rows, cols)
         sad_cols.append(sad)
         cost = sad + (bias_dy + lam * mv_bias(dx))[:, None, None]
         k = jnp.argmin(cost, axis=0)                    # (rows, cols)
@@ -164,13 +177,17 @@ def _patches_select(ref, coarse_px):
     """Per-block (_PATCH x _PATCH) reference patches at the coarse MV,
     built WITHOUT a gather: static overlapping 48x48 block tiles (pure
     reshape/concat), then masked selects over the coarse offset's
-    block-aligned part (5x5) and 4-px remainders (4+4).  TPU gathers run on
-    the scalar path (~10 ns/element); this formulation is pure vector
-    selects.  Bit-identical to _gather_patches(ref, coarse_px, 16,
-    _REFINE_R) — the frame-bound clamp becomes edge padding."""
+    block-aligned part (5x5) and 4-px remainders (4+4).  TPU gathers run
+    on the scalar path (~10 ns/element); this formulation is pure vector
+    selects.  Everything streams in the pixel dtype (ref arrives
+    uint8/int16, see _sdt) — a 4x/2x HBM-traffic cut on the dominant
+    masked-select reads vs the int32 original.  Bit-identical to
+    _gather_patches(ref, coarse_px, 16, _REFINE_R) — the frame-bound
+    clamp becomes edge padding."""
     h, w = ref.shape
     rows, cols = h // 16, w // 16
     R = _REFINE_R
+    dt = ref.dtype
     # decompose coarse = 16*A + B, A in [-2, 2], B in {0, 4, 8, 12}
     A_r = (coarse_px[..., 0] + 32) // 16 - 2
     B_r = coarse_px[..., 0] - 16 * A_r
@@ -189,25 +206,30 @@ def _patches_select(ref, coarse_px):
     X = jnp.concatenate([XR[:, 0:colsE], XR[:, 1 : colsE + 1],
                          XR[:, 2 : colsE + 2]], axis=3)  # (rowsE,colsE,48,48)
 
-    # block-aligned shift: 5x5 masked select (per-target-block masks)
-    Y = jnp.zeros((rows, cols, 48, 48), jnp.int32)
+    # block-aligned shift: 5x5 masked select (per-target-block masks;
+    # both shift components vary per block, so the joint select cannot
+    # be split into 1-D stages)
+    Y = jnp.zeros((rows, cols, 48, 48), dt)
     for a in range(-2, 3):
         row_m = A_r == a
         for a2 in range(-2, 3):
             m = (row_m & (A_c == a2))[..., None, None]
             Y = Y + jnp.where(
-                m, X[2 + a : 2 + a + rows, 2 + a2 : 2 + a2 + cols], 0)
+                m, X[2 + a : 2 + a + rows, 2 + a2 : 2 + a2 + cols],
+                0).astype(dt)
 
     # 4-px remainder: patch row k reads tile row B + 16 - R + k
     m0 = 16 - R
-    Z = jnp.zeros((rows, cols, _PATCH, 48), jnp.int32)
+    Z = jnp.zeros((rows, cols, _PATCH, 48), dt)
     for b in range(0, 16, 4):
         m = (B_r == b)[..., None, None]
-        Z = Z + jnp.where(m, Y[:, :, m0 + b : m0 + b + _PATCH, :], 0)
-    P = jnp.zeros((rows, cols, _PATCH, _PATCH), jnp.int32)
+        Z = Z + jnp.where(m, Y[:, :, m0 + b : m0 + b + _PATCH, :],
+                          0).astype(dt)
+    P = jnp.zeros((rows, cols, _PATCH, _PATCH), dt)
     for b in range(0, 16, 4):
         m = (B_c == b)[..., None, None]
-        P = P + jnp.where(m, Z[..., m0 + b : m0 + b + _PATCH], 0)
+        P = P + jnp.where(m, Z[..., m0 + b : m0 + b + _PATCH],
+                          0).astype(dt)
     return P
 
 
@@ -227,26 +249,29 @@ def _gather_patches(ref, mv_px, n: int, pad_each: int):
     return ref[ys, xs]
 
 
-def _refine_search(src_b, patches, coarse_px, lam):
+def _refine_search(src_b16, patches, coarse_px, lam):
     """+-_REFINE_R even-pel sweep on gathered patches with an incremental
     running minimum (no K-way candidate stack in HBM, no gather for the
-    winner).  src_b: (rows, cols, 16, 16); patches: (rows, cols, _PATCH,
-    _PATCH).  Returns final (rows, cols, 2) full-res px MV.
+    winner).  src_b16: (rows, cols, 16, 16) int16; patches: (rows, cols,
+    _PATCH, _PATCH) in the pixel dtype.  Returns (mv (rows, cols, 2)
+    full-res px, sad, cost).  The winning prediction is NOT carried: the
+    subpel stage recomputes every candidate's normative MC anyway, so
+    carrying it here was 25 dead full-frame selects per base.
 
     No per-offset coherence snap here: a frame-dominant offset relative
     to MIXED per-block coarse bases is meaningless (it once snapped flat
     blocks to junk on the texture corpus); field coherence comes from the
     absolute full-resolution global snap in _search_mv instead."""
-    shape = src_b.shape[:2]
+    shape = src_b16.shape[:2]
     best_cost = jnp.full(shape, jnp.inf, jnp.float32)
     best_sad = jnp.full(shape, jnp.inf, jnp.float32)
     best = jnp.zeros(shape + (2,), jnp.int32)
-    best_pred = jnp.zeros_like(src_b)
     for dy in range(-_REFINE_R, _REFINE_R + 1):
         for dx in range(-_REFINE_R, _REFINE_R + 1):
             cand = patches[:, :, _REFINE_R + dy : _REFINE_R + dy + 16,
                            _REFINE_R + dx : _REFINE_R + dx + 16]
-            sad = jnp.abs(src_b - cand).sum(axis=(2, 3)).astype(jnp.float32)
+            sad = jnp.abs(src_b16 - cand.astype(jnp.int16)).sum(
+                axis=(2, 3), dtype=jnp.float32)
             total = coarse_px + jnp.asarray([dy, dx], jnp.int32)
             # bias relative to the coarse MV: deviating from the local
             # prediction is what costs bits, not magnitude
@@ -256,10 +281,7 @@ def _refine_search(src_b, patches, coarse_px, lam):
             best_cost = jnp.where(take, cost, best_cost)
             best_sad = jnp.where(take, sad, best_sad)
             best = jnp.where(take[..., None], total, best)
-            # carry the winning prediction too: luma MC comes free from the
-            # patches already in registers (saves a full-plane gather)
-            best_pred = jnp.where(take[..., None, None], cand, best_pred)
-    return best, best_pred, best_sad, best_cost
+    return best, best_sad, best_cost
 
 
 def _global_full(src, ref, shifts4):
@@ -272,12 +294,15 @@ def _global_full(src, ref, shifts4):
     is within 2 px of the true global shift by pooling (round-to-multiple
     -of-4), so its window contains the truth whenever the pooled ranking
     got the basin right; the runner-up and zero cover periodic aliasing
-    and static content.  src/ref: (H, W); shifts4: (K, 2) int32 multiples
-    of 4.  Returns (c0 (2,) the winning 4-px base, g_full (2,) = c0 +
-    best offset, sad_g (rows, cols) per-block SAD at g_full)."""
+    and static content.  src/ref: (H, W) in any int dtype (streamed as
+    int16/pixel-dtype — the 75 whole-plane SAD passes are pure HBM
+    traffic); shifts4: (K, 2) int32 multiples of 4.  Returns (c0 (2,)
+    the winning 4-px base, g_full (2,) = c0 + best offset, sad_g (rows,
+    cols) per-block SAD at g_full)."""
     h, w = src.shape
     P = MAX_MV_PX + 8
-    refp = jnp.pad(ref, P, mode="edge")
+    src = src.astype(jnp.int16)
+    refp = jnp.pad(ref, P, mode="edge")  # stays in the pixel dtype
 
     def shifted(dyx):
         return jax.lax.dynamic_slice(refp, (P + dyx[0], P + dyx[1]),
@@ -293,7 +318,8 @@ def _global_full(src, ref, shifts4):
             for dx in range(-_REFINE_R, _REFINE_R + 1):
                 d = base + jnp.asarray([dy, dx], jnp.int32)
                 pl = shifted(d)
-                sadb = _block_sad(jnp.abs(src - pl), 16).astype(jnp.float32)
+                sadb = _block_sad(jnp.abs(src - pl.astype(jnp.int16)),
+                                  16).astype(jnp.float32)
                 tot = sadb.sum()
                 take = tot < best_tot
                 best_tot = jnp.where(take, tot, best_tot)
@@ -313,7 +339,8 @@ def _global_full(src, ref, shifts4):
                 d = jnp.clip(base + jnp.asarray([dy, dx], jnp.int32),
                              -MAX_MV_PX, MAX_MV_PX)
                 pl = shifted(d)
-                sadb = _block_sad(jnp.abs(src - pl), 16).astype(jnp.float32)
+                sadb = _block_sad(jnp.abs(src - pl.astype(jnp.int16)),
+                                  16).astype(jnp.float32)
                 tot = sadb.sum()
                 take = tot < best_tot
                 best_tot = jnp.where(take, tot, best_tot)
@@ -344,14 +371,17 @@ def _subpel_bank4() -> np.ndarray:
 _SUBPEL_D = (-6, -4, -2, 0, 2, 4, 6)   # 1/8-pel offsets (quarter-pel grid)
 
 
-def _subpel_refine(src_b, P24, mv_px, lam, pix_max):
-    """Quarter-pel sweep around the full-pel winner.  src_b: (rows, cols,
-    16, 16); P24: 24x24 patches at mv_px (pad 4).  Every candidate is the
-    NORMATIVE motion-compensated prediction (8-tap EIGHTTAP-regular,
-    InterRound0/1), so the winning pred is bit-exact vs the spec engine.
-    Returns (mv8 1/8-pel, pred)."""
+def _subpel_refine(src_b16, P24, mv_px, lam, pix_max):
+    """Quarter-pel sweep around the full-pel winner.  src_b16: (rows,
+    cols, 16, 16) int16; P24: 24x24 patches at mv_px (pad 4) in the pixel
+    dtype.  Every candidate is the NORMATIVE motion-compensated
+    prediction (8-tap EIGHTTAP-regular, InterRound0/1), so the winning
+    pred is bit-exact vs the spec engine.  Filter intermediates are
+    stored int16 (the spec guarantees the post-InterRound0 range fits;
+    accumulation widens in registers), halving the sweep's HBM reads.
+    Returns (mv8 1/8-pel, pred int32)."""
     bank = _subpel_bank()
-    shape = src_b.shape[:2]
+    shape = src_b16.shape[:2]
 
     # shared horizontal passes, one per column offset (phase + int shift);
     # P24[..., r, c] = ref[16R + mv + (r - 4), 16C + mv + (c - 4)]
@@ -362,13 +392,15 @@ def _subpel_refine(src_b, P24, mv_px, lam, pix_max):
         f = bank[fx]
         h = jnp.zeros(shape + (24, 16), jnp.int32)
         for k in range(8):
-            h = h + int(f[k]) * P24[..., :, 1 + ix + k : 17 + ix + k]
-        hors[dx] = (h + 4) >> 3            # InterRound0
+            h = h + int(f[k]) * P24[..., :, 1 + ix + k : 17 + ix + k
+                                    ].astype(jnp.int32)
+        hors[dx] = ((h + 4) >> 3).astype(jnp.int16)  # InterRound0
+    src_i32 = src_b16.astype(jnp.int32)
 
     best_cost = jnp.full(shape, jnp.inf, jnp.float32)
     best_sad = jnp.full(shape, jnp.inf, jnp.float32)
     best_d = jnp.zeros(shape + (2,), jnp.int32)
-    best_pred = jnp.zeros_like(src_b)
+    best_pred = jnp.zeros(shape + (16, 16), jnp.int32)
     sads = []
     offs = []
     for dy in _SUBPEL_D:
@@ -379,9 +411,10 @@ def _subpel_refine(src_b, P24, mv_px, lam, pix_max):
             v = jnp.zeros(shape + (16, 16), jnp.int32)
             hh = hors[dx]
             for k in range(8):
-                v = v + int(g[k]) * hh[..., 1 + iy + k : 17 + iy + k, :]
+                v = v + int(g[k]) * hh[..., 1 + iy + k : 17 + iy + k, :
+                                       ].astype(jnp.int32)
             v = jnp.clip((v + 1024) >> 11, 0, pix_max)   # InterRound1
-            sad = jnp.abs(src_b - v).sum(axis=(2, 3)).astype(jnp.float32)
+            sad = jnp.abs(src_i32 - v).sum(axis=(2, 3)).astype(jnp.float32)
             sads.append(sad)
             offs.append((dy, dx))
             # quarter-pel components add fr bits to the coded diff
@@ -402,7 +435,7 @@ def _subpel_refine(src_b, P24, mv_px, lam, pix_max):
     gi = jnp.argmin(totals)
     off_arr = jnp.asarray(offs, jnp.int32)             # (49, 2)
     d_g = off_arr[gi]
-    hor_g = jnp.zeros(shape + (24, 16), jnp.int32)
+    hor_g = jnp.zeros(shape + (24, 16), jnp.int16)
     for dx in _SUBPEL_D:
         hor_g = hor_g + jnp.where(d_g[1] == dx, hors[dx], 0)
     pred_g = jnp.zeros(shape + (16, 16), jnp.int32)
@@ -411,10 +444,11 @@ def _subpel_refine(src_b, P24, mv_px, lam, pix_max):
         g = bank[(dy & 7) << 1]
         v = jnp.zeros(shape + (16, 16), jnp.int32)
         for k in range(8):
-            v = v + int(g[k]) * hor_g[..., 1 + iy + k : 17 + iy + k, :]
+            v = v + int(g[k]) * hor_g[..., 1 + iy + k : 17 + iy + k, :
+                                      ].astype(jnp.int32)
         v = jnp.clip((v + 1024) >> 11, 0, pix_max)
         pred_g = pred_g + jnp.where(d_g[0] == dy, v, 0)
-    sad_g = jnp.abs(src_b - pred_g).sum(axis=(2, 3)).astype(jnp.float32)
+    sad_g = jnp.abs(src_i32 - pred_g).sum(axis=(2, 3)).astype(jnp.float32)
     snap = sad_g <= best_sad + lam * 14.0
     best_d = jnp.where(snap[..., None], d_g, best_d)
     best_pred = jnp.where(snap[..., None, None], pred_g, best_pred)
@@ -434,6 +468,7 @@ def _chroma_patches_select(ref2, mv_int):
     plane (frame-bound clamp becomes edge padding)."""
     _, h, w = ref2.shape
     rows, cols = h // 8, w // 8
+    dt = ref2.dtype
     # decompose mv = 8*A + B, A in [-3, 2], B in [0, 8): the patch
     # [mv-4, mv+12) then lies inside blocks [A-1, A+2] (4 blocks = 32 px),
     # starting at row B+4 of that tile
@@ -450,21 +485,22 @@ def _chroma_patches_select(ref2, mv_int):
     X = jnp.concatenate([XR[:, :, k : colsE + k] for k in range(4)],
                         axis=4)             # (2, rowsE, colsE, 32, 32)
 
-    Y = jnp.zeros((2, rows, cols, 32, 32), jnp.int32)
+    Y = jnp.zeros((2, rows, cols, 32, 32), dt)
     for s in range(6):                       # s = A + 3
         row_m = A_r == s
         for s2 in range(6):
             m = (row_m & (A_c == s2))[..., None, None]
-            Y = Y + jnp.where(m, X[:, s : s + rows, s2 : s2 + cols], 0)
+            Y = Y + jnp.where(m, X[:, s : s + rows, s2 : s2 + cols],
+                              0).astype(dt)
 
-    Z = jnp.zeros((2, rows, cols, 16, 32), jnp.int32)
+    Z = jnp.zeros((2, rows, cols, 16, 32), dt)
     for b in range(8):                       # patch rows = tile B+4..B+20
         m = (B_r == b)[..., None, None]
-        Z = Z + jnp.where(m, Y[:, :, :, b + 4 : b + 20, :], 0)
-    P = jnp.zeros((2, rows, cols, 16, 16), jnp.int32)
+        Z = Z + jnp.where(m, Y[:, :, :, b + 4 : b + 20, :], 0).astype(dt)
+    P = jnp.zeros((2, rows, cols, 16, 16), dt)
     for b in range(8):
         m = (B_c == b)[..., None, None]
-        P = P + jnp.where(m, Z[..., b + 4 : b + 20], 0)
+        P = P + jnp.where(m, Z[..., b + 4 : b + 20], 0).astype(dt)
     return P
 
 
@@ -480,7 +516,7 @@ def _chroma_mc_pair(ref_u, ref_v, mv8, pix_max, bank=None):
     mv_int = jnp.stack([mv8[..., 0] >> 4, mv8[..., 1] >> 4], -1)
     fy = mv8[..., 0] & 15
     fx = mv8[..., 1] & 15
-    ref2 = jnp.stack([ref_u, ref_v])
+    ref2 = jnp.stack([ref_u, ref_v]).astype(_sdt(pix_max))
     patch = _chroma_patches_select(ref2, mv_int)  # (2, rows, cols, 16, 16)
     if bank is None:
         bank = jnp.asarray(_subpel_bank())
@@ -489,12 +525,12 @@ def _chroma_mc_pair(ref_u, ref_v, mv8, pix_max, bank=None):
     hor = jnp.zeros(patch.shape[:3] + (16, 8), jnp.int32)
     for k in range(8):
         hor = hor + (tx[None, :, :, k, None, None]
-                     * patch[..., :, k + 1 : k + 9])
-    hor = (hor + 4) >> 3                   # InterRound0
+                     * patch[..., :, k + 1 : k + 9].astype(jnp.int32))
+    hor = ((hor + 4) >> 3).astype(jnp.int16)  # InterRound0 (16-bit range)
     out = jnp.zeros(patch.shape[:3] + (8, 8), jnp.int32)
     for k in range(8):
         out = out + (ty[None, :, :, k, None, None]
-                     * hor[..., k + 1 : k + 9, :])
+                     * hor[..., k + 1 : k + 9, :].astype(jnp.int32))
     out = (out + 1024) >> 11               # InterRound1
     out = jnp.clip(out, 0, pix_max)
     return out[0], out[1]
@@ -529,6 +565,7 @@ def _patches40_select(ref, coarse_px, off_px):
     [8:32, 8:32] center slice of this one."""
     h, w = ref.shape
     rows, cols = h // 16, w // 16
+    dt = ref.dtype
     A_r = (coarse_px[..., 0] + 32) // 16 - 2          # [-2, 2]
     B_r = coarse_px[..., 0] - 16 * A_r                # {0, 4, 8, 12}
     A_c = (coarse_px[..., 1] + 32) // 16 - 2
@@ -543,25 +580,38 @@ def _patches40_select(ref, coarse_px, off_px):
     X = jnp.concatenate([XR[:, 1 + k : 1 + k + colsE] for k in range(4)],
                         axis=3)                  # (rowsE, colsE, 64, 64)
 
-    Y = jnp.zeros((rows, cols, 64, 64), jnp.int32)
+    Y = jnp.zeros((rows, cols, 64, 64), dt)
     for a in range(-2, 3):
         row_m = A_r == a
         for a2 in range(-2, 3):
             m = (row_m & (A_c == a2))[..., None, None]
             Y = Y + jnp.where(
-                m, X[2 + a : 2 + a + rows, 2 + a2 : 2 + a2 + cols], 0)
+                m, X[2 + a : 2 + a + rows, 2 + a2 : 2 + a2 + cols],
+                0).astype(dt)
 
-    # patch row 0 = tile row (B + off) + 4, B + off in [-2, 14]
-    s_r = B_r + off_px[..., 0]
-    s_c = B_c + off_px[..., 1]
-    Z = jnp.zeros((rows, cols, 40, 64), jnp.int32)
-    for s in range(-2, 15):
-        m = (s_r == s)[..., None, None]
-        Z = Z + jnp.where(m, Y[:, :, 4 + s : 4 + s + 40, :], 0)
-    P = jnp.zeros((rows, cols, 40, 40), jnp.int32)
-    for s in range(-2, 15):
-        m = (s_c == s)[..., None, None]
-        P = P + jnp.where(m, Z[..., 4 + s : 4 + s + 40], 0)
+    # patch row 0 = tile row (B + off) + 4 with B in {0, 4, 8, 12} and
+    # off in [-2, 2]: two 1-D stages on the SAME per-block axis (4 + 5
+    # reads instead of the joint 17) — valid here because both shifts
+    # index within the block's own tile, unlike the A-shift above
+    Zb = jnp.zeros((rows, cols, 44, 64), dt)
+    for b in range(0, 16, 4):
+        m = (B_r == b)[..., None, None]
+        Zb = Zb + jnp.where(m, Y[:, :, 2 + b : 2 + b + 44, :],
+                            0).astype(dt)
+    Z = jnp.zeros((rows, cols, 40, 64), dt)
+    for o in range(-2, 3):
+        m = (off_px[..., 0] == o)[..., None, None]
+        Z = Z + jnp.where(m, Zb[:, :, 2 + o : 2 + o + 40, :],
+                          0).astype(dt)
+    Pb = jnp.zeros((rows, cols, 40, 44), dt)
+    for b in range(0, 16, 4):
+        m = (B_c == b)[..., None, None]
+        Pb = Pb + jnp.where(m, Z[..., 2 + b : 2 + b + 44],
+                            0).astype(dt)
+    P = jnp.zeros((rows, cols, 40, 40), dt)
+    for o in range(-2, 3):
+        m = (off_px[..., 1] == o)[..., None, None]
+        P = P + jnp.where(m, Pb[..., 2 + o : 2 + o + 40], 0).astype(dt)
     return P
 
 
@@ -585,14 +635,17 @@ def _mc_ext32(P40, mv8, mv_px, pix_max):
     for k in range(8):
         rd = jnp.where(sx < 0, P40[..., :, k : 32 + k],
                        P40[..., :, 1 + k : 33 + k])
-        hor = hor + tx[..., k, None, None] * rd
-    hor = (hor + 4) >> 3                          # InterRound0
+        hor = hor + tx[..., k, None, None] * rd.astype(jnp.int32)
+    hor = ((hor + 4) >> 3).astype(jnp.int16)      # InterRound0
     out = jnp.zeros(P40.shape[:2] + (32, 32), jnp.int32)
     for k in range(8):
         rd = jnp.where(sy < 0, hor[..., k : 32 + k, :],
                        hor[..., 1 + k : 33 + k, :])
-        out = out + ty[..., k, None, None] * rd
-    return jnp.clip((out + 1024) >> 11, 0, pix_max)  # InterRound1
+        out = out + ty[..., k, None, None] * rd.astype(jnp.int32)
+    # store the extended predictions in the pixel dtype: every consumer
+    # slices them for SADs/selects, and E is the sub8 stage's biggest
+    # streamed tensor
+    return jnp.clip((out + 1024) >> 11, 0, pix_max).astype(P40.dtype)
 
 
 def _chroma_patches24_select(ref2, mv_int):
@@ -602,6 +655,7 @@ def _chroma_patches24_select(ref2, mv_int):
     4:20] center slice)."""
     _, h, w = ref2.shape
     rows, cols = h // 8, w // 8
+    dt = ref2.dtype
     A_r = (mv_int[..., 0] + 24) >> 3
     B_r = mv_int[..., 0] - ((A_r - 3) << 3)
     A_c = (mv_int[..., 1] + 24) >> 3
@@ -615,21 +669,22 @@ def _chroma_patches24_select(ref2, mv_int):
     X = jnp.concatenate([XR[:, :, k : colsE + k] for k in range(4)],
                         axis=4)             # (2, rowsE, colsE, 32, 32)
 
-    Y = jnp.zeros((2, rows, cols, 32, 32), jnp.int32)
+    Y = jnp.zeros((2, rows, cols, 32, 32), dt)
     for s in range(6):                       # s = A + 3
         row_m = A_r == s
         for s2 in range(6):
             m = (row_m & (A_c == s2))[..., None, None]
-            Y = Y + jnp.where(m, X[:, s : s + rows, s2 : s2 + cols], 0)
+            Y = Y + jnp.where(m, X[:, s : s + rows, s2 : s2 + cols],
+                              0).astype(dt)
 
-    Z = jnp.zeros((2, rows, cols, 24, 32), jnp.int32)
+    Z = jnp.zeros((2, rows, cols, 24, 32), dt)
     for b in range(8):                       # patch rows = tile B..B+24
         m = (B_r == b)[..., None, None]
-        Z = Z + jnp.where(m, Y[:, :, :, b : b + 24, :], 0)
-    P = jnp.zeros((2, rows, cols, 24, 24), jnp.int32)
+        Z = Z + jnp.where(m, Y[:, :, :, b : b + 24, :], 0).astype(dt)
+    P = jnp.zeros((2, rows, cols, 24, 24), dt)
     for b in range(8):
         m = (B_c == b)[..., None, None]
-        P = P + jnp.where(m, Z[..., b : b + 24], 0)
+        P = P + jnp.where(m, Z[..., b : b + 24], 0).astype(dt)
     return P
 
 
@@ -643,7 +698,8 @@ def _chroma_ext16(ref_u, ref_v, mv8, pix_max):
     mv_int = jnp.stack([mv8[..., 0] >> 4, mv8[..., 1] >> 4], -1)
     fy = mv8[..., 0] & 15
     fx = mv8[..., 1] & 15
-    ref2 = jnp.stack([ref_u, ref_v])
+    dt = _sdt(pix_max)
+    ref2 = jnp.stack([ref_u, ref_v]).astype(dt)
     patch = _chroma_patches24_select(ref2, mv_int)  # (2,rows,cols,24,24)
     bank = jnp.asarray(_subpel_bank4())
     tx = bank[fx]                          # (rows, cols, 8)
@@ -651,13 +707,14 @@ def _chroma_ext16(ref_u, ref_v, mv8, pix_max):
     hor = jnp.zeros(patch.shape[:3] + (24, 16), jnp.int32)
     for k in range(8):
         hor = hor + (tx[None, :, :, k, None, None]
-                     * patch[..., :, k + 1 : k + 17])
-    hor = (hor + 4) >> 3                   # InterRound0
+                     * patch[..., :, k + 1 : k + 17].astype(jnp.int32))
+    hor = ((hor + 4) >> 3).astype(jnp.int16)  # InterRound0
     out = jnp.zeros(patch.shape[:3] + (16, 16), jnp.int32)
     for k in range(8):
         out = out + (ty[None, :, :, k, None, None]
-                     * hor[..., k + 1 : k + 17, :])
-    return jnp.clip((out + 1024) >> 11, 0, pix_max)  # InterRound1
+                     * hor[..., k + 1 : k + 17, :].astype(jnp.int32))
+    return jnp.clip((out + 1024) >> 11, 0,
+                    pix_max).astype(dt)  # InterRound1
 
 
 _SUB8_NONPARENT_BITS = 10.0   # NEWMV diff / DRL cost of a sub-block MV
@@ -700,8 +757,9 @@ def _sub8_stage(y, ref_y, ref_u, ref_v, mv16, pred_b16, p40, mv_px, lam,
     Returns dict: mv8 (rows8, cols8, 2) 1/8-pel, pred (rows8, cols8, 8,
     8) luma, pred_uv (2, rows8, cols8, 4, 4), mv_bits (rows8, cols8)."""
     rows, cols = mv16.shape[:2]
-    src8 = _quads(_to_blocks(y, 16), 8)
-    pred_p = _quads(pred_b16, 8)
+    dt = _sdt(pix_max)
+    src8 = _quads(_to_blocks(y.astype(jnp.int16), 16), 8)
+    pred_p = _quads(pred_b16.astype(dt), 8)
     rep2 = lambda a: jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
     mv_p = rep2(mv16)
 
@@ -736,14 +794,16 @@ def _sub8_stage(y, ref_y, ref_u, ref_v, mv16, pred_b16, p40, mv_px, lam,
     hmv = jnp.repeat(jnp.stack([mvl, mvr], axis=2)
                      .reshape(rows, 2 * cols, 2), 2, axis=0)
 
-    best_cost = jnp.abs(src8 - pred_p).sum(axis=(2, 3)).astype(jnp.float32)
+    best_cost = jnp.abs(src8 - pred_p.astype(jnp.int16)).sum(
+        axis=(2, 3), dtype=jnp.float32)
     best_mv = mv_p                        # parent pays no extra signaling
     best_pred = pred_p
     best_idx = jnp.zeros((2 * rows, 2 * cols), jnp.int32)
 
     def consider(idx, mv_cand8, pred_cand, penalty):
         nonlocal best_cost, best_mv, best_pred, best_idx
-        sad = jnp.abs(src8 - pred_cand).sum(axis=(2, 3)).astype(jnp.float32)
+        sad = jnp.abs(src8 - pred_cand.astype(jnp.int16)).sum(
+            axis=(2, 3), dtype=jnp.float32)
         cost = sad + penalty
         take = cost < best_cost
         best_cost = jnp.where(take, cost, best_cost)
@@ -752,7 +812,7 @@ def _sub8_stage(y, ref_y, ref_u, ref_v, mv16, pred_b16, p40, mv_px, lam,
         best_pred = jnp.where(take[..., None, None], pred_cand, best_pred)
 
     # candidate 1 — zero MV: the co-located reference block, no filter
-    consider(1, jnp.zeros_like(mv_p), _to_blocks(ref_y, 8),
+    consider(1, jnp.zeros_like(mv_p), _to_blocks(ref_y.astype(dt), 8),
              lam * _MV_BIAS * 4.0)
     consider(2, vmv, vpred, lam * _MV_BIAS * 6.0)
     consider(3, hmv, hpred, lam * _MV_BIAS * 6.0)
@@ -760,7 +820,8 @@ def _sub8_stage(y, ref_y, ref_u, ref_v, mv16, pred_b16, p40, mv_px, lam,
     # ---- chroma: slices of Ec / the reference, selected by winner index
     qc = lambda a: jnp.stack([_quads(a[0], 4), _quads(a[1], 4)])
     pred_uv = qc(Ec[:, :, :, 4:12, 4:12])             # parent (4-tap)
-    zero_uv = qc(jnp.stack([_to_blocks(ref_u, 8), _to_blocks(ref_v, 8)]))
+    zero_uv = qc(jnp.stack([_to_blocks(ref_u.astype(dt), 8),
+                            _to_blocks(ref_v.astype(dt), 8)]))
     ctop = jnp.concatenate([Ec[:, :1, :, 4:8, 4:12],
                             Ec[:, :-1, :, 12:16, 4:12]], axis=1)
     cbot = jnp.concatenate([Ec[:, 1:, :, 0:4, 4:12],
@@ -845,6 +906,9 @@ def _search_mv(y, ref_y, lam, pix_max, prev_mv=None):
     # (quarter-res SADs are ~1/16 of pixel-domain SADs, so both the
     # MV-rate bias and the ~14-bit NEWMV-diff snap margin scale down by 16)
     src_b = _to_blocks(y, 16)
+    dt = _sdt(pix_max)
+    ref8 = ref_y.astype(dt)                # pixel-dtype ref: every patch
+    src_b16 = src_b.astype(jnp.int16)      # assembly/SAD streams shrink
 
     bases = [coarse, coarse2]
     if prev_mv is not None:
@@ -855,22 +919,21 @@ def _search_mv(y, ref_y, lam, pix_max, prev_mv=None):
                        -4 * _COARSE_R, 4 * _COARSE_R)
         bases.append(tmv)
 
-    mv_px = pred_y = best_sad = best_cost = base_f = None
+    mv_px = best_sad = best_cost = base_f = None
     for b in bases:
-        patches = _patches_select(ref_y, b)
-        m, p, s, c = _refine_search(src_b, patches, b, lam)
+        patches = _patches_select(ref8, b)
+        m, sd, c = _refine_search(src_b16, patches, b, lam)
         if mv_px is None:
-            mv_px, pred_y, best_sad, best_cost = m, p, s, c
+            mv_px, best_sad, best_cost = m, sd, c
             base_f = b
         else:
             take = c < best_cost
             mv_px = jnp.where(take[..., None], m, mv_px)
-            pred_y = jnp.where(take[..., None, None], p, pred_y)
-            best_sad = jnp.where(take, s, best_sad)
+            best_sad = jnp.where(take, sd, best_sad)
             best_cost = jnp.where(take, c, best_cost)
             base_f = jnp.where(take[..., None], b, base_f)
 
-    c0, g_full, sad_g = _global_full(y, ref_y, shifts4)
+    c0, g_full, sad_g = _global_full(y, ref8, shifts4)
     snap = sad_g <= best_sad + lam * 14.0
     mv_px = jnp.where(snap[..., None], g_full, mv_px)
 
@@ -879,9 +942,9 @@ def _search_mv(y, ref_y, lam, pix_max, prev_mv=None):
     # same decomposition — keep the pair for subpel patch assembly
     coarse_f = jnp.where(snap[..., None], c0[None, None], base_f)
     off_f = mv_px - coarse_f
-    p40 = _patches40_select(ref_y, coarse_f, off_f)
-    mv8, pred_y = _subpel_refine(src_b, p40[..., 8:32, 8:32], mv_px, lam,
-                                 pix_max)
+    p40 = _patches40_select(ref8, coarse_f, off_f)
+    mv8, pred_y = _subpel_refine(src_b16, p40[..., 8:32, 8:32], mv_px,
+                                 lam, pix_max)
     return mv8, pred_y, src_b, (p40, mv_px)
 
 
@@ -1392,24 +1455,69 @@ def _gop_step_part_body(frame_u8, ref_fused, qindex, height: int,
     v8 = _merge_tiles4(v8, o["lv32c"], 8)
     flat = jnp.concatenate([y16.reshape(-1), u8.reshape(-1),
                             v8.reshape(-1)])
+    # ---- prefix transport (see inter_part_layout): the device->host
+    # link is the production bottleneck (~17 MB/s on the dev tunnel), so
+    # the buffer is laid out [head | small fixed region | one compacted
+    # dynamic stream] and the host fetches ONLY the used prefix — ~100 KB
+    # per frame instead of the ~1 MB dense form.  The dynamic stream is
+    # one lax.sort compaction of three keyed sections in order: nonzero
+    # significance-bitmap words, nonzero coefficient levels, and the 8x8
+    # sub-MVs of split16 blocks.  Dense-form capacity retries are gone:
+    # the stream's device-side length covers the worst case and only the
+    # prefix ever crosses the link.
     sig = flat != 0
     m = sig.shape[0]
-    bits = sig.reshape(m // 16, 16).astype(jnp.uint16)
+    nwords = m // 16
+    rows, cols = height // 16, width // 16
+    nb = rows * cols
+    bits = sig.reshape(nwords, 16).astype(jnp.uint16)
     bitmap = (bits << jnp.arange(16, dtype=jnp.uint16)).sum(
         axis=-1, dtype=jnp.uint16)
     count = jnp.sum(sig.astype(jnp.int32))
-    key = jnp.where(sig, jnp.arange(m, dtype=jnp.int32),
-                    jnp.int32(0x7FFFFFFF))
-    _, vals = jax.lax.sort((key, flat), num_keys=1)
-    head = jnp.stack([count & 0x7FFF, count >> 15]).astype(jnp.int16)
+    w_nz = bitmap != 0
+    countw = jnp.sum(w_nz.astype(jnp.int32))
+    ns = jnp.sum(o["split16"].astype(jnp.int32))
+    # L2: one bit per bitmap word (nwords is a multiple of 16 for
+    # 64-aligned frames)
+    l2bits = w_nz.reshape(nwords // 16, 16).astype(jnp.uint16)
+    l2 = (l2bits << jnp.arange(16, dtype=jnp.uint16)).sum(
+        axis=-1, dtype=jnp.uint16)
+
+    def packb(b):
+        v = b.reshape(-1).astype(jnp.uint16)
+        pad = (-v.shape[0]) % 16
+        if pad:
+            v = jnp.concatenate([v, jnp.zeros(pad, jnp.uint16)])
+        return jax.lax.bitcast_convert_type(
+            (v.reshape(-1, 16) << jnp.arange(16, dtype=jnp.uint16)).sum(
+                axis=-1, dtype=jnp.uint16), jnp.int16)
+
+    # per-16-block groups of 8 sub-MVs [y00 x00 y01 x01 y10 x10 y11 x11]
+    mvd = (o["mv8"].reshape(rows, 2, cols, 2, 2)
+           .transpose(0, 2, 1, 3, 4).reshape(nb * 8))
+    s16_rep = jnp.repeat(o["split16"].reshape(-1), 8)
+    BIG = jnp.int32(0x7FFFFFFF)
+    keys = jnp.concatenate([
+        jnp.where(w_nz, jnp.arange(nwords, dtype=jnp.int32), BIG),
+        jnp.where(sig, nwords + jnp.arange(m, dtype=jnp.int32), BIG),
+        jnp.where(s16_rep, nwords + m + jnp.arange(nb * 8,
+                                                   dtype=jnp.int32), BIG),
+    ])
+    stream = jnp.concatenate([
+        jax.lax.bitcast_convert_type(bitmap, jnp.int16), flat,
+        mvd.astype(jnp.int16)])
+    _, dyn = jax.lax.sort((keys, stream), num_keys=1)
+    head = jnp.stack([count & 0x7FFF, count >> 15,
+                      countw & 0x7FFF, countw >> 15,
+                      ns & 0x7FFF, ns >> 15,
+                      jnp.int32(0), jnp.int32(0)]).astype(jnp.int16)
     buf = jnp.concatenate([
-        head, jax.lax.bitcast_convert_type(bitmap, jnp.int16), vals[:cap],
-        o["split16"].reshape(-1).astype(jnp.int16),
-        o["split32"].reshape(-1).astype(jnp.int16),
-        o["split64"].reshape(-1).astype(jnp.int16),
-        o["ref16"].reshape(-1).astype(jnp.int16),
-        o["mv8"][..., 0].reshape(-1).astype(jnp.int16),
-        o["mv8"][..., 1].reshape(-1).astype(jnp.int16)])
+        head, jax.lax.bitcast_convert_type(l2, jnp.int16),
+        packb(o["split16"]), packb(o["split32"]), packb(o["split64"]),
+        packb(o["ref16"]),
+        o["mv"][..., 0].reshape(-1).astype(jnp.int16),
+        o["mv"][..., 1].reshape(-1).astype(jnp.int16),
+        dyn])
     rcy, rcu, rcv = o["recon_y"], o["recon_u"], o["recon_v"]
     if lf3 is not None:
         from av1tpu.models.deblock_tpu import deblock_planes, edge_gates_j
@@ -1452,53 +1560,193 @@ def _gop_step_part(frame_u8, ref_fused, qindex, height: int, width: int,
                                noise_gate)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "cap", "lf"))
+def _gop_chunk_scan(frames_u8, q_f, is_ref, mv_scale, ref_fused, prev_mv,
+                    height: int, width: int, cap: int, lf=None,
+                    cdef_s=None, gld_fused=None, noise_gate=None):
+    """ONE launch per chunk: lax.scan of the partitioned step over the
+    frame axis (the body compiles once — no unrolling — and the recon/
+    CDF-hint carries never leave the device).  The axon dispatch path
+    charges ~25 ms per program launch, so scanning K frames in one
+    launch beats K separate dispatches by ~20 ms/frame at identical
+    math (the scan body is the same jaxpr the per-frame jit traced).
+
+    Per-frame scanned inputs make one compiled graph serve both GOP
+    modes: q_f (per-frame qindex), is_ref (non-reference frames leave
+    the recon/MV carries untouched — the 2-layer pyramid), mv_scale
+    (temporal-MV hint scale: 2 for distance-2 reference frames)."""
+    lf3 = jnp.asarray(lf, jnp.int32) if (lf is not None and any(lf)) \
+        else None
+    if prev_mv is None:
+        prev_mv = jnp.zeros((height // 16, width // 16, 2), jnp.int32)
+
+    def body(carry, x):
+        ref, pm = carry
+        frame, qf, isr, msc = x
+        buf, new_ref, mvpx = _gop_step_part_body(
+            frame, ref, qf, height, width, cap, lf3, cdef_s, gld_fused,
+            pm * msc, noise_gate)
+        keep = isr != 0
+        ref = jnp.where(keep, new_ref, ref)
+        # per-frame motion field: a distance-2 ref frame's MVs halve
+        pm = jnp.where(keep, jnp.where(msc > 1, mvpx >> 1, mvpx), mvpx)
+        return (ref, pm), buf
+
+    (ref, pm), bufs = jax.lax.scan(
+        body, (ref_fused, prev_mv), (frames_u8, q_f, is_ref, mv_scale))
+    return bufs, ref, pm
+
+
 def encode_gop_chunk_part(frames_u8, ref_fused, qindex, height: int,
                           width: int, cap: int = 131072, lf=None,
                           cdef_s=None, gld_fused=None, prev_mv=None,
                           noise_gate=None):
-    """Partitioned counterpart of encode_gop_chunk (host loop, device
-    carry, per-frame buffers fetchable while later frames compute).
+    """Partitioned GOP chunk: one scanned launch, device carry.
     gld_fused: optional GOLDEN reference (the scene keyframe's filtered
     recon), constant across the scene.  prev_mv: optional (rows, cols, 2)
     full-pel MV field carried from the previous chunk's last frame (the
-    temporal search candidate).  Returns (bufs, ref, mv) — thread mv into
-    the next chunk's prev_mv."""
+    temporal search candidate).  Returns (bufs (K, L) device array, ref,
+    mv) — thread mv into the next chunk's prev_mv; fetch per-frame
+    prefixes with fetch_inter_part_prefix(bufs[k], ...)."""
     frames_u8 = jnp.asarray(frames_u8)
-    if prev_mv is None:
-        prev_mv = jnp.zeros((height // 16, width // 16, 2), jnp.int32)
-    bufs = []
-    ref = ref_fused
-    mv = prev_mv
-    for k in range(frames_u8.shape[0]):
-        buf, ref, mv = _gop_step_part(frames_u8[k], ref, qindex, height,
-                                      width, cap, lf, cdef_s, gld_fused,
-                                      mv, noise_gate)
-        bufs.append(buf)
-    return bufs, ref, mv
+    k = frames_u8.shape[0]
+    q_f = jnp.full((k,), qindex, jnp.int32)
+    ones = jnp.ones((k,), jnp.int32)
+    return _gop_chunk_scan(frames_u8, q_f, ones, ones, ref_fused,
+                           prev_mv, height, width, cap, lf, cdef_s,
+                           gld_fused, noise_gate)
+
+
+def encode_gop_chunk_layered(frames_u8, ref_fused, qindex, q_nr,
+                             height: int, width: int, cap: int = 131072,
+                             lf=None, cdef_s=None, gld_fused=None,
+                             prev_mv=None, start_parity: int = 1,
+                             noise_gate=None):
+    """2-layer low-delay pyramid chunk: odd-parity frames are
+    NON-REFERENCE (refresh_frame_flags = 0 downstream) — coded at the
+    coarser q_nr against the running reference, with in-loop filters
+    skipped (their recon is never referenced; the headers signal zero
+    filter levels so decoder output still equals the device recon), and
+    the recon/CDF chains advance only on even-parity frames.  Reference
+    frames then code at temporal distance 2, seeded with a doubled
+    temporal MV hint.  The structural half of the anchor's --lookahead
+    pyramid (crates/daemon/src/encode/av1an.rs:14) without frame
+    reordering.  Returns (bufs, parities, ref, per-frame mv hint)."""
+    frames_u8 = jnp.asarray(frames_u8)
+    k = frames_u8.shape[0]
+    pars = [(start_parity + i) % 2 for i in range(k)]
+    par = jnp.asarray(pars, jnp.int32)
+    q_f = jnp.where(par == 1, q_nr, qindex).astype(jnp.int32)
+    is_ref = (1 - par).astype(jnp.int32)
+    mv_scale = jnp.where(par == 0, 2, 1).astype(jnp.int32)
+    bufs, ref, pm = _gop_chunk_scan(frames_u8, q_f, is_ref, mv_scale,
+                                    ref_fused, prev_mv, height, width,
+                                    cap, lf, cdef_s, gld_fused,
+                                    noise_gate)
+    return bufs, pars, ref, pm
+
+
+def inter_part_layout(height: int, width: int):
+    """Prefix-transport layout of the partitioned inter buffer:
+    [head(8) | L2 word-bitmap | packed split16/32/64 + ref16 flags |
+     per-16 mv (y then x) | dynamic stream].  The host needs only
+    head+fixed plus the dynamic prefix of length countw + count + 8*ns
+    (nonzero bitmap words, nonzero levels, split-block sub-MVs)."""
+    nb, nb32, nb64, ncoef = inter_part_sizes(height, width)
+    nwords = ncoef // 16
+    l2 = nwords // 16
+    w = lambda n: (n + 15) // 16
+    off_l2 = 8
+    off_s16 = off_l2 + l2
+    off_s32 = off_s16 + w(nb)
+    off_s64 = off_s32 + w(nb32)
+    off_ref = off_s64 + w(nb64)
+    off_mv = off_ref + w(nb)
+    fixed = off_mv + 2 * nb
+    total = fixed + nwords + ncoef + 8 * nb
+    return {"nb": nb, "nb32": nb32, "nb64": nb64, "ncoef": ncoef,
+            "nwords": nwords, "l2": l2, "off_l2": off_l2,
+            "off_s16": off_s16, "off_s32": off_s32, "off_s64": off_s64,
+            "off_ref": off_ref, "off_mv": off_mv, "fixed": fixed,
+            "total": total}
+
+
+def _unpackb(words: np.ndarray, n: int):
+    """Inverse of the device-side packb: int16 words -> (n,) bool."""
+    return np.unpackbits(words.view(np.uint16).view(np.uint8),
+                         bitorder="little")[:n].astype(bool)
+
+
+def inter_part_prefix_len(head: np.ndarray, height: int, width: int):
+    """Total prefix elements (head+fixed+dynamic) needed from a
+    partitioned inter buffer whose first 8 int16s are `head`."""
+    lay = inter_part_layout(height, width)
+    count = int(head[0]) | (int(head[1]) << 15)
+    countw = int(head[2]) | (int(head[3]) << 15)
+    ns = int(head[4]) | (int(head[5]) << 15)
+    return lay["fixed"] + countw + count + 8 * ns
+
+
+def fetch_inter_part_prefix(buf_dev, height: int, width: int,
+                            state: dict | None = None) -> np.ndarray:
+    """Fetch ONLY the used prefix of a partitioned inter buffer over the
+    (slow) device->host link: one speculative fetch sized from the last
+    frame's usage, plus a tail fetch on undershoot.  Returns an np array
+    `split_compact_inter_part` accepts."""
+    lay = inter_part_layout(height, width)
+    guess = lay["fixed"] + 98304
+    if state is not None:
+        guess = state.get("guess", guess)
+    first = np.asarray(buf_dev[: min(guess, lay["total"])])
+    need = inter_part_prefix_len(first[:8], height, width)
+    if need > len(first):
+        first = np.concatenate(
+            [first, np.asarray(buf_dev[len(first) : need])])
+    if state is not None:  # 1.5x headroom keeps refetches rare
+        state["guess"] = need + (need - lay["fixed"]) // 2 + 4096
+    return first[:need]
 
 
 def split_compact_inter_part(buf: np.ndarray, height: int, width: int):
-    """Host split -> (count, bitmap u16, vals i16, split16, split32,
-    split64, ref16, mv (r8, c8, 2) i32 per-8-block)."""
-    nb, nb32, nb64, ncoef = inter_part_sizes(height, width)
-    nb8 = 4 * nb
-    nwords = ncoef // 16
+    """Host split of the prefix transport -> (count, bitmap u16 dense,
+    vals i16, split16, split32, split64, ref16, mv (r8, c8, 2) i32
+    per-8-block).  `buf` may be the full device buffer or just the used
+    prefix — only head + fixed + dynamic-prefix elements are read."""
+    buf = np.asarray(buf)
+    lay = inter_part_layout(height, width)
+    nb, nb32, nb64 = lay["nb"], lay["nb32"], lay["nb64"]
+    nwords = lay["nwords"]
+    r16, c16 = height // 16, width // 16
     count = int(buf[0]) | (int(buf[1]) << 15)
-    bitmap = buf[2 : 2 + nwords].view(np.uint16)
-    tail = 2 * nb + nb32 + nb64 + 2 * nb8
-    vals = buf[2 + nwords : len(buf) - tail]
-    meta = buf[len(buf) - tail :]
-    split16 = np.asarray(meta[:nb]).reshape(height // 16, width // 16)
-    split32 = np.asarray(meta[nb : nb + nb32]).reshape(
-        height // 32, width // 32)
-    split64 = np.asarray(meta[nb + nb32 : nb + nb32 + nb64]).reshape(
-        height // 64, width // 64)
-    ref16 = np.asarray(meta[nb + nb32 + nb64 : 2 * nb + nb32 + nb64]
-                       ).reshape(height // 16, width // 16)
-    mvs = meta[2 * nb + nb32 + nb64 :].astype(np.int32)
-    mv = np.stack([mvs[:nb8], mvs[nb8:]], axis=-1).reshape(
-        height // 8, width // 8, 2)
-    return count, bitmap, vals, split16, split32, split64, ref16, mv
+    countw = int(buf[2]) | (int(buf[3]) << 15)
+    ns = int(buf[4]) | (int(buf[5]) << 15)
+    w_nz = _unpackb(buf[lay["off_l2"] : lay["off_s16"]], nwords)
+    split16 = _unpackb(buf[lay["off_s16"] : lay["off_s32"]],
+                       nb).reshape(r16, c16)
+    split32 = _unpackb(buf[lay["off_s32"] : lay["off_s64"]],
+                       nb32).reshape(height // 32, width // 32)
+    split64 = _unpackb(buf[lay["off_s64"] : lay["off_ref"]],
+                       nb64).reshape(height // 64, width // 64)
+    ref16 = _unpackb(buf[lay["off_ref"] : lay["off_mv"]],
+                     nb).reshape(r16, c16)
+    mv16 = np.asarray(buf[lay["off_mv"] : lay["fixed"]]).astype(np.int32)
+    dyn = buf[lay["fixed"] : lay["fixed"] + countw + count + 8 * ns]
+    bitmap = np.zeros(nwords, np.uint16)
+    bitmap[w_nz] = dyn[:countw].view(np.uint16)
+    vals = dyn[countw : countw + count]
+    # per-8 MV grid: parent per-16 MV everywhere, split blocks overridden
+    # by their transported sub-MVs
+    mv = np.stack([mv16[:nb], mv16[nb:]], axis=-1).reshape(r16, c16, 2)
+    mv8 = np.repeat(np.repeat(mv.reshape(r16, 1, c16, 1, 2), 2, 1),
+                    2, 3)
+    if ns:
+        mvd = np.asarray(dyn[countw + count :]).astype(
+            np.int32).reshape(ns, 2, 2, 2)
+        ri, ci = np.nonzero(split16)
+        mv8[ri, :, ci, :, :] = mvd
+    mv8 = mv8.reshape(height // 8, width // 8, 2)
+    return count, bitmap, vals, split16, split32, split64, ref16, mv8
 
 
 def inter_sizes(height: int, width: int):

@@ -25,7 +25,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from av1tpu.models.cdef_tpu import CDEF_PRESETS, cdef_fused, cdef_sse_fused
-from av1tpu.models.inter_v import _gop_step_body, _gop_step_part_body
+from av1tpu.models.inter_v import (
+    _gop_step_body, _gop_step_part_body, fetch_inter_part_prefix,
+)
 from av1tpu.models.intra_wave import _wave_key_body
 
 
@@ -167,8 +169,17 @@ class SceneBatchEncoder:
         iqs_d = _shard(self.mesh, iqs)
         ilf_d = _shard(self.mesh, ilf)
         inter_bufs = [[] for _ in range(S)]
+        fstates = [{} for _ in range(S)]  # per-scene prefix predictors
 
         def collect(t, bufs):
+            if part:
+                # per-scene PREFIX fetch: only the used bytes cross the
+                # device->host link (the production bottleneck)
+                for s in range(S):
+                    if t < self.lens[s]:
+                        inter_bufs[s].append(fetch_inter_part_prefix(
+                            bufs[s], self.h, self.w, fstates[s]))
+                return
             bt = np.asarray(bufs)
             for s in range(S):
                 if t < self.lens[s]:

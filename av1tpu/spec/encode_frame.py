@@ -164,16 +164,20 @@ def encode_keyframe(y: np.ndarray, u: np.ndarray, v: np.ndarray,
 
 def make_frame_header_inter(seq: SequenceHeader,
                             cfg: EncoderConfig,
-                            golden: bool = False) -> FrameHeader:
+                            golden: bool = False,
+                            refresh: bool = True) -> FrameHeader:
     """Inter frame header at this encoder's operating point: LAST = slot 0
     (the previous frame), refresh slot 0, CDFs reset per frame
     (PRIMARY_REF_NONE), reduced tx set (inter tx-type set 3).  golden:
     also map GOLDEN to slot 1 — the scene keyframe, which refreshes every
     slot (0xFF) and stays in slot 1 because inter frames only refresh
-    slot 0."""
+    slot 0.  refresh=False codes a NON-REFERENCE frame
+    (refresh_frame_flags = 0): nothing it decodes enters any ref slot, so
+    the 2-layer pyramid can spend fewer bits on it without chain
+    drift."""
     fh = make_frame_header(seq, cfg)
     fh.frame_type = INTER_FRAME
-    fh.refresh_frame_flags = 0x01
+    fh.refresh_frame_flags = 0x01 if refresh else 0x00
     fh.ref_frame_idx = ((0, 0, 0, 1, 0, 0, 0) if golden
                         else (0, 0, 0, 0, 0, 0, 0))
     fh.reduced_tx_set = 1

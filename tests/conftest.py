@@ -22,3 +22,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# NOTE: do NOT enable the persistent compile cache here — writing the
+# large CPU executables from inside pytest segfaults in jax's
+# zstandard-compressed cache serializer (reproduced twice on this host;
+# the standalone CLI/bench processes write the same cache fine).

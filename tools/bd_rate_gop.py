@@ -27,6 +27,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 TOOL = os.path.join(REPO, "native", "build", "av1_tool")
+SVT_CACHE = None
 
 from tools.bd_rate import bd_rate  # noqa: E402
 from tools.corpus import get_clip_y4m  # noqa: E402
@@ -77,6 +78,9 @@ def measure(clip, dec_y4m, w, h):
     return float(np.mean(ps)), float(np.mean(ss))
 
 
+LAYERS = 1
+
+
 def run_clip(name, w, h, frames, tmp):
     from av1tpu.cli import encode_clip
     from av1tpu.spec.obu import write_ivf
@@ -86,7 +90,11 @@ def run_clip(name, w, h, frames, tmp):
     clip = read_y4m(y4m)
     res = {"svt_preset6": [], "av1tpu_gop": []}
 
-    for crf in SVT_CRFS:
+    cached = (SVT_CACHE or {}).get("clips", {}).get(name, {})
+    if cached.get("svt_preset6"):
+        res["svt_preset6"] = cached["svt_preset6"]
+        print(f"  svt {name}: reused cached anchor points", flush=True)
+    for crf in SVT_CRFS if not res["svt_preset6"] else ():
         out = os.path.join(tmp, f"svt_{name}_{crf}.ivf")
         r = subprocess.run(
             [TOOL, "encode", y4m, out, "--codec", "libsvtav1",
@@ -105,7 +113,7 @@ def run_clip(name, w, h, frames, tmp):
 
     for q in OUR_QS:
         streams, stats = encode_clip(clip, q, chunk=8, metric="psnr",
-                                     gop=True)
+                                     gop=True, layers=LAYERS)
         ivf = os.path.join(tmp, f"ours_{name}_{q}.ivf")
         write_ivf(ivf, streams, w, h)
         dec = os.path.join(tmp, "dec.y4m")
@@ -150,15 +158,27 @@ def main():
     ap.add_argument("--width", type=int, default=1280)
     ap.add_argument("--height", type=int, default=720)
     ap.add_argument("--frames", type=int, default=32)
+    ap.add_argument("--layers", type=int, default=1, choices=(1, 2),
+                    help="temporal layers for the av1tpu side")
+    ap.add_argument("--svt-cache", default=None,
+                    help="reuse SVT anchor points from this existing "
+                         "results json (skips the CPU anchor encodes)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the sitecustomize-forced "
                          "axon platform hangs when the TPU tunnel is down)")
     ap.add_argument("--out", default=os.path.join(REPO, "benchmarks",
                                                   "quality_gop.json"))
     args = ap.parse_args()
+    global LAYERS
+    LAYERS = args.layers
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    global SVT_CACHE
+    SVT_CACHE = None
+    if args.svt_cache and os.path.exists(args.svt_cache):
+        with open(args.svt_cache) as f:
+            SVT_CACHE = json.load(f)
 
     results = {"corpus": {"width": args.width, "height": args.height,
                           "frames": args.frames},

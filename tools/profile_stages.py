@@ -41,7 +41,8 @@ def main():
     from av1tpu.models.cq import probe_quality
     from av1tpu.models.deblock_tpu import lf_levels
     from av1tpu.models.inter_v import (
-        encode_gop_chunk_part, split_compact_inter_part,
+        encode_gop_chunk_part, fetch_inter_part_prefix,
+        split_compact_inter_part,
     )
     from av1tpu.models.intra_v import fuse_planes, split_compact
     from av1tpu.models.intra_wave import encode_intra_wave_key_recon
@@ -117,12 +118,15 @@ def main():
     ilf = lf_levels(q)
     cdef_j = jax.numpy.asarray(cdef_s)
 
+    fstate = {}
+
     def inter_chunk():
         bufs, r, _mv = encode_gop_chunk_part(
             fused_dev, ref_cdef, q, ch, cw, cap=163840,
             lf=(ilf[0], ilf[2], ilf[3]), cdef_s=cdef_j)
+        out = [fetch_inter_part_prefix(b, ch, cw, fstate) for b in bufs]
         jax.block_until_ready(r)
-        return [np.asarray(b) for b in bufs]
+        return out
 
     dt, bufs_np = t(inter_chunk)
     res["inter_chunk_8f_device+fetch"] = dt
